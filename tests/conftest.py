@@ -1,0 +1,40 @@
+"""Test harness config: run everything on CPU with an 8-device virtual mesh.
+
+This is the TPU-native answer to "test multi-node without a cluster"
+(SURVEY.md §4): sharding/collective logic is validated on
+xla_force_host_platform_device_count=8 virtual devices; numerical kernels run
+the same XLA graphs CPU-side. Real-TPU runs happen via bench.py.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+ALEXNET_BIN_DIR = os.path.join(REFERENCE_DIR, "AlexNet", "Bin.Files")
+
+
+@pytest.fixture(scope="session")
+def reference_dir():
+    if not os.path.isdir(REFERENCE_DIR):
+        pytest.skip("reference checkout not available")
+    return REFERENCE_DIR
+
+
+@pytest.fixture(scope="session")
+def alexnet_bin_dir(reference_dir):
+    return ALEXNET_BIN_DIR
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(20260816)
