@@ -1,0 +1,141 @@
+"""Load reference-format model parameters into the engine's pytrees.
+
+Mirrors CaffePara::LoadLayerPara (src/CaffePara.cc:239-306): per conv/FC layer
+index i (0-based), files are named ``{prefix}.{kind}.{i+1:02d}.{ext}``:
+
+  biasVec.NN.bin              float32, always
+  ctrdLst.NN.bin              float32 (S, K, D), quantized models
+  asmtLst.NN.{cbn|bin}        uint8 indices, quantized models
+  convKnl.NN.bin              float32 (Cout, Cg, kh, kw), dense conv
+  fcntWei.NN.bin              float32 (Cout, Cin), dense FC
+
+Upstream ships AlexNet quantized weights minus the fc6 assignment blob
+(``.MISSING_LARGE_BLOBS``); ``synthesize_missing=True`` fills such gaps with
+deterministic pseudo-random indices so that performance work and end-to-end
+plumbing don't block on a download. Synthesized layers are recorded in the
+returned manifest — accuracy numbers are only meaningful when it's empty.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+from qcnn_tpu.core import (
+    ConvSpec,
+    FCSpec,
+    ModelSpec,
+    dense_conv_params,
+    dense_fc_params,
+    pq_conv_params,
+    pq_fc_params,
+)
+from qcnn_tpu.formats import read_asmt, read_bin
+
+
+@dataclasses.dataclass
+class LoadResult:
+    params: list
+    synthesized_layers: list  # layer indices whose assignments were synthesized
+
+    @property
+    def is_authentic(self) -> bool:
+        return not self.synthesized_layers
+
+
+def _synth_assignments(shape, num_codewords: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, num_codewords, size=shape, dtype=np.uint8)
+
+
+def load_reference_model(
+    spec: ModelSpec,
+    weights_dir: str,
+    prefix: str,
+    *,
+    quantized: bool = True,
+    encoding: str = "cbn",
+    synthesize_missing: bool = False,
+    dtype=np.float32,
+) -> LoadResult:
+    """Build the params list for `network.forward` from reference files."""
+    params: list[Optional[dict]] = []
+    synthesized: list[int] = []
+
+    def path(kind: str, idx: int, ext: str) -> str:
+        return os.path.join(weights_dir, f"{prefix}.{kind}.{idx + 1:02d}.{ext}")
+
+    shapes = spec.feature_shapes(batch=1)
+    for i, layer in enumerate(spec.layers):
+        if not isinstance(layer, (ConvSpec, FCSpec)):
+            params.append(None)
+            continue
+        bias = read_bin(path("biasVec", i, "bin"), dtype).reshape(-1)
+        if quantized:
+            ctrd = read_bin(path("ctrdLst", i, "bin"), dtype)
+            s, k, d = ctrd.shape
+            asmt_path = path("asmtLst", i, encoding)
+            if os.path.exists(asmt_path):
+                asmt = read_asmt(asmt_path)
+            elif synthesize_missing:
+                if isinstance(layer, ConvSpec):
+                    shape = (layer.out_channels, layer.kernel, layer.kernel, s)
+                else:
+                    shape = (layer.out_features, s)
+                asmt = _synth_assignments(shape, k, seed=1000 + i)
+                synthesized.append(i)
+            else:
+                raise FileNotFoundError(asmt_path)
+            if isinstance(layer, ConvSpec):
+                params.append(pq_conv_params(ctrd, asmt, bias))
+            else:
+                params.append(pq_fc_params(ctrd, asmt, bias))
+        else:
+            if isinstance(layer, ConvSpec):
+                knl = read_bin(path("convKnl", i, "bin"), dtype)
+                # (Cout, Cg, kh, kw) -> HWIO (kh, kw, Cg, Cout)
+                params.append(
+                    dense_conv_params(np.transpose(knl, (2, 3, 1, 0)), bias)
+                )
+            else:
+                wei = read_bin(path("fcntWei", i, "bin"), dtype)  # (Cout, Cin)
+                params.append(dense_fc_params(wei.T, bias))
+    del shapes
+    return LoadResult(params=params, synthesized_layers=synthesized)
+
+
+def load_alexnet_reference(
+    reference_dir: str = "/root/reference", **kwargs
+) -> LoadResult:
+    from qcnn_tpu.models.zoo import alexnet
+
+    return load_reference_model(
+        alexnet(),
+        os.path.join(reference_dir, "AlexNet", "Bin.Files"),
+        "bvlc_alexnet_aCaF",
+        quantized=True,
+        synthesize_missing=kwargs.pop("synthesize_missing", True),
+        **kwargs,
+    )
+
+
+def load_class_names(path: str) -> list[str]:
+    """Class id -> name table (Cls.Names/class_names.txt; one name per line,
+    reference CaffeEvaWrapper.cc:219-243)."""
+    with open(path, "r", encoding="utf-8", errors="replace") as f:
+        return [line.rstrip("\n") for line in f if line.strip()]
+
+
+def load_image_labels(path: str) -> dict[str, str]:
+    """Image file name -> ground-truth class name
+    (Cls.Names/image_labels.txt, reference CaffeEvaWrapper.cc:245-284)."""
+    mapping: dict[str, str] = {}
+    with open(path, "r", encoding="utf-8", errors="replace") as f:
+        for line in f:
+            parts = line.strip().split(None, 1)
+            if len(parts) == 2:
+                mapping[parts[0]] = parts[1]
+    return mapping

@@ -1,0 +1,183 @@
+"""The network executor: a jit-able forward pass over a ModelSpec.
+
+Replaces the reference's CaffeEva dispatch loop (CaffeEva.cc:151-260,
+:625-670). Differences by design:
+
+- whole batches flow through XLA as one program (the reference loops images
+  one at a time with batch=1, CaffeEva.cc:23,167);
+- the spec is static data closed over by jit; parameters are a pytree list;
+- per-layer PQ strategy is chosen up front (config or `auto` heuristics)
+  instead of a global precise/approx flag.
+
+Layout contract: activations are NHWC throughout (the reference's layout,
+CvtDataLstToFeatMap permute CaffeEva.cc:1159); the first FC flattens in NCHW
+order to match the Caffe weight layout (CaffeEva.cc:184-204).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from qcnn_tpu.core import (
+    ConvSpec,
+    DropoutSpec,
+    FCSpec,
+    LRNSpec,
+    ModelSpec,
+    PoolSpec,
+    ReLUSpec,
+    SoftmaxSpec,
+    is_pq,
+)
+from qcnn_tpu.ops import (
+    caffe_max_pool,
+    conv_dense,
+    dropout_inference,
+    fc_dense,
+    lrn,
+    pq_conv,
+    pq_fc,
+    relu,
+    softmax,
+)
+
+# Per-layer PQ execution strategies. "auto" resolves to decode for convs
+# (weights are small; MXU conv is speed-of-light) and for FCs picks the LUT
+# kernel at small batch / decode-GEMM at large batch, where the crossover is
+# set by weight bytes vs per-example LUT+gather cost (see ops/fc.py).
+CONV_IMPLS = ("decode", "lut")
+FC_IMPLS = ("onehot", "gather", "decode", "pallas")
+
+_FC_AUTO_BATCH_CROSSOVER = 64
+
+
+def resolve_strategy(
+    spec: ModelSpec,
+    params: Sequence[Optional[dict]],
+    batch: int,
+    conv_impl: str = "auto",
+    fc_impl: str = "auto",
+) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """Resolve ('auto' | explicit) strategy names per layer index."""
+    conv_choices = []
+    fc_choices = []
+    for layer, p in zip(spec.layers, params):
+        if isinstance(layer, ConvSpec):
+            if not is_pq(p):
+                conv_choices.append("dense")
+            elif conv_impl == "auto":
+                conv_choices.append("decode")
+            else:
+                conv_choices.append(conv_impl)
+            fc_choices.append("-")
+        elif isinstance(layer, FCSpec):
+            if not is_pq(p):
+                fc_choices.append("dense")
+            elif fc_impl == "auto":
+                fc_choices.append(
+                    "onehot" if batch <= _FC_AUTO_BATCH_CROSSOVER else "decode"
+                )
+            else:
+                fc_choices.append(fc_impl)
+            conv_choices.append("-")
+        else:
+            conv_choices.append("-")
+            fc_choices.append("-")
+    return tuple(conv_choices), tuple(fc_choices)
+
+
+def forward(
+    params: Sequence[Optional[dict]],
+    x: jax.Array,
+    *,
+    spec: ModelSpec,
+    conv_impl: str = "auto",
+    fc_impl: str = "auto",
+    with_softmax: bool = True,
+) -> jax.Array:
+    """Run the full forward pass.
+
+    Args:
+      params: one entry per layer; dict for conv/fc (PQ or dense), None for
+        parameter-free layers.
+      x: (B, H, W, C) NHWC activations (BGR, mean-subtracted).
+    Returns:
+      (B, num_classes) class probabilities (or logits if with_softmax=False).
+    """
+    if x.ndim != 4:
+        raise ValueError(f"expected NHWC input, got shape {x.shape}")
+    conv_strat, fc_strat = resolve_strategy(
+        spec, params, x.shape[0], conv_impl, fc_impl
+    )
+
+    first_fc_done = False
+    for i, (layer, p) in enumerate(zip(spec.layers, params)):
+        if isinstance(layer, ConvSpec):
+            if conv_strat[i] == "dense":
+                x = conv_dense(
+                    x, p["kernel"], p["bias"],
+                    stride=layer.stride, pad=layer.pad, groups=layer.groups,
+                )
+            else:
+                x = pq_conv(
+                    x, p,
+                    stride=layer.stride, pad=layer.pad, groups=layer.groups,
+                    impl=conv_strat[i],
+                )
+        elif isinstance(layer, PoolSpec):
+            x = caffe_max_pool(
+                x, kernel=layer.kernel, stride=layer.stride, pad=layer.pad
+            )
+        elif isinstance(layer, FCSpec):
+            if not first_fc_done:
+                # NCHW flatten to match Caffe weight order (CaffeEva.cc:184-204)
+                x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+                first_fc_done = True
+            else:
+                x = x.reshape(x.shape[0], -1)
+            if fc_strat[i] == "dense":
+                x = fc_dense(x, p["weight"], p["bias"])
+            else:
+                x = pq_fc(x, p, impl=fc_strat[i])
+        elif isinstance(layer, ReLUSpec):
+            x = relu(x)
+        elif isinstance(layer, LRNSpec):
+            x = lrn(x, size=layer.size, alpha=layer.alpha, beta=layer.beta, k=layer.k)
+        elif isinstance(layer, DropoutSpec):
+            x = dropout_inference(x)
+        elif isinstance(layer, SoftmaxSpec):
+            if with_softmax:
+                x = softmax(x)
+        else:
+            raise TypeError(f"unhandled layer spec: {layer!r}")
+    return x
+
+
+def make_forward_fn(
+    spec: ModelSpec,
+    *,
+    conv_impl: str = "auto",
+    fc_impl: str = "auto",
+    with_softmax: bool = True,
+    donate_input: bool = False,
+):
+    """Build a jitted forward(params, x) for a fixed spec/strategy."""
+    fn = functools.partial(
+        forward,
+        spec=spec,
+        conv_impl=conv_impl,
+        fc_impl=fc_impl,
+        with_softmax=with_softmax,
+    )
+    return jax.jit(fn, donate_argnums=(1,) if donate_input else ())
+
+
+def top_k_labels(probs: jax.Array, k: int = 5) -> jax.Array:
+    """Top-k class indices per example (CvtFeatMapToLablVec,
+    CaffeEva.cc:1162-1190, without the destructive zero-out)."""
+    _, idx = jax.lax.top_k(probs, k)
+    return idx

@@ -1,0 +1,125 @@
+"""Convolution ops: dense and PQ paths.
+
+Reference semantics: CalcFeatMap_ConvPrec (CaffeEva.cc:681-758, per-group
+im2col + sgemm) and CalcFeatMap_ConvAprx (:760-868, per-group LUT build over
+all source pixels then kernel-position gather-accumulate with implicit zero
+padding). Output size floor((H + 2p - k)/s) + 1 (:361-362).
+
+TPU-native design: the precise path is a single lax.conv_general_dilated (XLA
+tiles it onto the MXU; im2col is an implementation detail XLA owns). The PQ
+path has two formulations:
+
+- decode: reconstruct the (small) dense kernel from codebooks+assignments on
+  the fly and run the same MXU conv. Exact same outputs as the reference's
+  LUT path (modulo float summation order); optimal on TPU because conv weight
+  traffic is negligible next to activation traffic.
+- lut: build the inner-product LUT over source pixels, then contract with the
+  one-hot-encoded assignments — expressed as ONE convolution over the LUT
+  channels, so padding/stride semantics are inherited from XLA. This is the
+  faithful LUT+gather structure for parity testing and for layers where
+  S*K < Cg*kh*kw would make it the cheaper contraction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from qcnn_tpu.ops import lut as lut_ops
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def conv_dense(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    *,
+    stride: int,
+    pad: int,
+    groups: int = 1,
+) -> jax.Array:
+    """x: (B,H,W,Cin), kernel: (kh,kw,Cin/groups,Cout) -> (B,Ho,Wo,Cout)."""
+    out = lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=_DN,
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    return out + bias
+
+
+def pq_conv_decode(
+    x: jax.Array, params: dict, *, stride: int, pad: int, groups: int = 1
+) -> jax.Array:
+    """PQ conv via on-the-fly kernel decode + MXU conv."""
+    cin_per_group = x.shape[-1] // groups
+    kernel = lut_ops.decode_conv_kernel(
+        params["codebooks"], params["assignments"], cin_per_group
+    )
+    return conv_dense(
+        x, kernel, params["bias"], stride=stride, pad=pad, groups=groups
+    )
+
+
+def pq_conv_lut(
+    x: jax.Array, params: dict, *, stride: int, pad: int, groups: int = 1
+) -> jax.Array:
+    """PQ conv as LUT build + one-hot conv over LUT channels.
+
+    Per group g: lut_g[b,h,w,s,k] = <x_g[b,h,w,s*D:(s+1)*D], C[s,k]>; then
+    out[b,ho,wo,o] = bias[o] + sum_{kh,kw,s} lut_g[b, hi, wi, s, A[o,kh,kw,s]]
+    which is exactly a conv of lut_g (channels S*K) with the one-hot kernel
+    OH[kh,kw,(s,k),o] = [A[o,kh,kw,s] == k]. Zero padding of the LUT replays
+    the reference's skipping of out-of-bounds kernel positions
+    (CaffeEva.cc:820-827) since absent positions contribute 0.
+    """
+    codebooks = params["codebooks"]
+    assignments = params["assignments"]  # (Cout, kh, kw, S)
+    s, k, d = codebooks.shape
+    cout, kh, kw, _ = assignments.shape
+    b, h, w, cin = x.shape
+    cin_per_group = cin // groups
+
+    luts = []
+    for g in range(groups):
+        xg = x[..., g * cin_per_group : (g + 1) * cin_per_group]
+        lut_g = lut_ops.build_lut(xg, codebooks)  # (B,H,W,S,K)
+        luts.append(lut_g.reshape(b, h, w, s * k))
+    lut_all = jnp.concatenate(luts, axis=-1) if groups > 1 else luts[0]
+
+    onehot = lut_ops.assignments_one_hot(assignments, k)  # (Cout,kh,kw,S,K)
+    oh_kernel = jnp.transpose(
+        onehot.reshape(cout, kh, kw, s * k), (1, 2, 3, 0)
+    )  # (kh,kw,S*K,Cout)
+
+    out = lax.conv_general_dilated(
+        lut_all,
+        oh_kernel,
+        window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=_DN,
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    return out + params["bias"]
+
+
+def pq_conv(
+    x: jax.Array,
+    params: dict,
+    *,
+    stride: int,
+    pad: int,
+    groups: int = 1,
+    impl: str = "decode",
+) -> jax.Array:
+    if impl == "decode":
+        return pq_conv_decode(x, params, stride=stride, pad=pad, groups=groups)
+    if impl == "lut":
+        return pq_conv_lut(x, params, stride=stride, pad=pad, groups=groups)
+    raise ValueError(f"unknown pq_conv impl: {impl}")

@@ -8,13 +8,20 @@ the same XLA graphs CPU-side. Real-TPU runs happen via bench.py.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment pins JAX_PLATFORMS to a TPU platform
+# (e.g. the axon tunnel, whose sitecustomize imports jax at interpreter start,
+# making env vars here too late): unit tests must be fast and deterministic;
+# real-TPU runs go through bench.py. jax.config.update works post-import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
