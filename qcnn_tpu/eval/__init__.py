@@ -1,0 +1,6 @@
+from qcnn_tpu.eval.harness import (  # noqa: F401
+    Classifier,
+    ClassifyResult,
+    accuracy_at_k,
+    evaluate_dataset,
+)

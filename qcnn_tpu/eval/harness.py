@@ -1,0 +1,176 @@
+"""Evaluation harness: single-image classification facade + dataset accuracy.
+
+Replaces CaffeEvaWrapper (src/CaffeEvaWrapper.cc) and the accuracy loop of
+UT_CaffeEva (src/UnitTest.cc:27-65, CaffeEva::CalcPredAccu CaffeEva.cc:263-295).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qcnn_tpu.core import ModelSpec
+from qcnn_tpu.models import (
+    get_model,
+    load_class_names,
+    load_image_labels,
+    load_reference_model,
+    make_forward_fn,
+)
+from qcnn_tpu.preproc import Preprocessor
+from qcnn_tpu.utils.timing import TimerSet
+
+
+@dataclasses.dataclass
+class ClassifyResult:
+    """Top-k classification result (CaffeEvaRslt, CaffeEvaWrapper.h:22-30)."""
+
+    class_ids: list[int]
+    probs: list[float]
+    class_names: list[str]
+    ground_truth: Optional[str]
+    time_total_s: float
+
+
+# Preprocessing/model wiring per reference model name
+# (CaffeEvaWrapper.cc:54-131).
+_MODEL_WIRING = {
+    "alexnet": ("AlexNet", "bvlc_alexnet_aCaF", Preprocessor.alexnet),
+    "caffenet": ("CaffeNet", "bvlc_caffenet_aCaF", Preprocessor.alexnet),
+    "caffenet_fgb": ("CaffeNetFGB", "bvlc_caffenetfgb_aCaF", Preprocessor.alexnet),
+    "caffenet_fgd": ("CaffeNetFGD", "bvlc_caffenetfgd_aCaF", Preprocessor.alexnet),
+    "vgg_cnn_s": ("VggCnnS", "vgg_cnn_s_aCaF", Preprocessor.vgg_cnn_s),
+}
+
+
+class Classifier:
+    """End-to-end classifier: preprocess → jitted forward → top-k decode."""
+
+    def __init__(
+        self,
+        spec: ModelSpec,
+        params: Sequence[Optional[dict]],
+        preprocessor: Preprocessor,
+        class_names: Optional[list[str]] = None,
+        image_labels: Optional[dict[str, int]] = None,
+        *,
+        conv_impl: str = "auto",
+        fc_impl: str = "auto",
+    ) -> None:
+        self.spec = spec
+        self.params = params
+        self.pre = preprocessor
+        self.class_names = class_names or []
+        self.image_labels = image_labels or {}
+        self.timers = TimerSet()
+        self._fwd = make_forward_fn(spec, conv_impl=conv_impl, fc_impl=fc_impl)
+
+    @classmethod
+    def from_reference(
+        cls,
+        model: str,
+        main_dir: str,
+        *,
+        class_names_path: Optional[str] = None,
+        image_labels_path: Optional[str] = None,
+        synthesize_missing: bool = True,
+        **kwargs,
+    ) -> "Classifier":
+        key = model.lower().replace("-", "_")
+        if key not in _MODEL_WIRING:
+            raise KeyError(f"unsupported reference model {model!r}")
+        subdir, prefix, pre_factory = _MODEL_WIRING[key]
+        spec = get_model(key)
+        res = load_reference_model(
+            spec,
+            os.path.join(main_dir, subdir, "Bin.Files"),
+            prefix,
+            synthesize_missing=synthesize_missing,
+        )
+        pre = pre_factory(
+            os.path.join(main_dir, subdir, "imagenet_mean.single.bin")
+        )
+        names = load_class_names(class_names_path) if class_names_path else None
+        labels = load_image_labels(image_labels_path) if image_labels_path else None
+        clf = cls(spec, res.params, pre, names, labels, **kwargs)
+        clf.load_result = res
+        return clf
+
+    def classify(self, bmp_path: str, top_k: int = 5) -> ClassifyResult:
+        import time
+
+        t0 = time.perf_counter()
+        with self.timers.time("preproc"):
+            x = jnp.asarray(self.pre.load(bmp_path))
+        with self.timers.time("forward") as _:
+            probs = self._fwd(self.params, x)
+            probs = np.asarray(probs)[0]
+        idx = np.argsort(-probs)[:top_k]
+        elapsed = time.perf_counter() - t0
+        names = [
+            self.class_names[i] if i < len(self.class_names) else str(i)
+            for i in idx
+        ]
+        stem = os.path.splitext(os.path.basename(bmp_path))[0]
+        gt_id = self.image_labels.get(stem)
+        gt = None
+        if gt_id is not None:
+            gt = (
+                self.class_names[gt_id]
+                if gt_id < len(self.class_names)
+                else str(gt_id)
+            )
+        return ClassifyResult(
+            class_ids=[int(i) for i in idx],
+            probs=[float(probs[i]) for i in idx],
+            class_names=names,
+            ground_truth=gt,
+            time_total_s=elapsed,
+        )
+
+
+def accuracy_at_k(
+    probs: np.ndarray, labels: np.ndarray, ks: Sequence[int] = (1, 2, 3, 4, 5)
+) -> dict[int, float]:
+    """Cumulative top-k accuracy (CalcPredAccu, CaffeEva.cc:263-295)."""
+    order = np.argsort(-probs, axis=1)
+    out = {}
+    for k in ks:
+        hits = (order[:, :k] == labels[:, None]).any(axis=1)
+        out[k] = float(hits.mean())
+    return out
+
+
+def evaluate_dataset(
+    forward_fn,
+    params,
+    images: np.ndarray,
+    labels: np.ndarray,
+    *,
+    batch_size: int = 64,
+) -> dict:
+    """Batched dataset evaluation (UT_CaffeEva analogue with real batching;
+    the reference fixes batch=1, CaffeEva.cc:23)."""
+    n = images.shape[0]
+    all_probs = []
+    timers = TimerSet()
+    for i in range(0, n, batch_size):
+        xb = jnp.asarray(images[i : i + batch_size])
+        with timers.time("forward"):
+            pb = forward_fn(params, xb)
+            pb = np.asarray(pb)
+        all_probs.append(pb)
+    probs = np.concatenate(all_probs, axis=0)
+    acc = accuracy_at_k(probs, labels[:n])
+    report = timers.report()
+    return {
+        "accuracy": acc,
+        "images": n,
+        "forward_s": report["forward"]["total_s"],
+        "images_per_s": n / report["forward"]["total_s"],
+    }

@@ -129,13 +129,16 @@ def load_class_names(path: str) -> list[str]:
         return [line.rstrip("\n") for line in f if line.strip()]
 
 
-def load_image_labels(path: str) -> dict[str, str]:
-    """Image file name -> ground-truth class name
-    (Cls.Names/image_labels.txt, reference CaffeEvaWrapper.cc:245-284)."""
-    mapping: dict[str, str] = {}
+def load_image_labels(path: str) -> dict[str, int]:
+    """Image file stem -> ground-truth class id. The file lists
+    ``<name>.JPEG <class_id>`` pairs; the reference keys lookups by the file
+    name with extension stripped (LoadImgLabl + ExtrFileName,
+    CaffeEvaWrapper.cc:251-320)."""
+    mapping: dict[str, int] = {}
     with open(path, "r", encoding="utf-8", errors="replace") as f:
         for line in f:
-            parts = line.strip().split(None, 1)
+            parts = line.split()
             if len(parts) == 2:
-                mapping[parts[0]] = parts[1]
+                stem = os.path.splitext(os.path.basename(parts[0]))[0]
+                mapping[stem] = int(parts[1])
     return mapping

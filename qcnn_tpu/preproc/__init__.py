@@ -1,0 +1,8 @@
+from qcnn_tpu.preproc.bmp import read_bmp  # noqa: F401
+from qcnn_tpu.preproc.pipeline import (  # noqa: F401
+    MeanType,
+    Preprocessor,
+    ReszType,
+    center_crop,
+    resize_bilinear,
+)

@@ -1,0 +1,145 @@
+"""Image preprocessing pipeline: resize → (mean, crop) → NHWC tensor.
+
+Reproduces BmpImgIO (src/BmpImgIO.cc) semantics exactly:
+
+- bilinear resize with align-corners scale factors (src-1)/(dst-1) and
+  explicit 4-tap weight normalization (ReszImg, BmpImgIO.cc:105-178);
+- Strict (exact HxW) vs Relaxed (keep aspect, min scale) sizing policies
+  (BmpImgIO.h:22-25);
+- center crop (CropImg, :180-201);
+- mean-image subtraction either before the crop on the full-size image
+  (MeanType.FULL) or after on the cropped image (MeanType.CROP)
+  (Load, :56-68).
+
+All host-side NumPy: preprocessing is IO-bound and stays off the device; the
+device receives ready NHWC float32 batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import numpy as np
+
+from qcnn_tpu.formats import read_bin
+from qcnn_tpu.preproc.bmp import read_bmp
+
+
+class ReszType(enum.Enum):
+    STRICT = "strict"
+    RELAXED = "relaxed"
+
+
+class MeanType(enum.Enum):
+    FULL = "full"
+    CROP = "crop"
+
+
+_EPS = 1e-7
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int,
+                    policy: ReszType = ReszType.STRICT) -> np.ndarray:
+    """img: (H, W, C) float32 -> resized (H', W', C).
+
+    STRICT gives exactly (out_h, out_w); RELAXED scales both axes by the
+    smaller align-corners factor, preserving aspect ratio (the output is at
+    least (out_h, out_w) along each axis)."""
+    h, w, _ = img.shape
+    scale_h = (h - 1) / (out_h - 1)
+    scale_w = (w - 1) / (out_w - 1)
+    if policy is ReszType.RELAXED:
+        scale_h = scale_w = min(scale_h, scale_w)
+        out_h = int((h - 1) / scale_h + _EPS) + 1
+        out_w = int((w - 1) / scale_w + _EPS) + 1
+
+    def taps(scale: float, n_out: int, n_src: int):
+        c = scale * np.arange(n_out, dtype=np.float64)
+        lo = np.maximum(0, c.astype(np.int64))
+        hi = np.minimum(n_src - 1, lo + 1)
+        w_lo = 1.0 - (c - lo)
+        w_hi = 1.0 - (hi - c)
+        return lo, hi, w_lo, w_hi
+
+    hl, hh, whl, whh = taps(scale_h, out_h, h)
+    wl, wh, wwl, wwh = taps(scale_w, out_w, w)
+
+    # 4-tap gather with the reference's explicit weight renormalization
+    # (degenerate at borders where lo == hi, BmpImgIO.cc:160-174)
+    v_lt = img[hl][:, wl]
+    v_rt = img[hl][:, wh]
+    v_lb = img[hh][:, wl]
+    v_rb = img[hh][:, wh]
+    w_lt = (whl[:, None] * wwl[None, :])[..., None]
+    w_rt = (whl[:, None] * wwh[None, :])[..., None]
+    w_lb = (whh[:, None] * wwl[None, :])[..., None]
+    w_rb = (whh[:, None] * wwh[None, :])[..., None]
+    num = v_lt * w_lt + v_rt * w_rt + v_lb * w_lb + v_rb * w_rb
+    den = w_lt + w_rt + w_lb + w_rb
+    return (num / den).astype(np.float32)
+
+
+def center_crop(img: np.ndarray, crop_h: int, crop_w: int) -> np.ndarray:
+    h, w, _ = img.shape
+    oh = (h - crop_h) // 2
+    ow = (w - crop_w) // 2
+    return img[oh : oh + crop_h, ow : ow + crop_w]
+
+
+@dataclasses.dataclass
+class Preprocessor:
+    """Model-specific preprocessing config (the reference wires these per model
+    in CaffeEvaWrapper::SetModel, CaffeEvaWrapper.cc:54-85)."""
+
+    full_h: int
+    full_w: int
+    crop_h: int
+    crop_w: int
+    resz_type: ReszType
+    mean_type: MeanType
+    mean_image: np.ndarray  # (H, W, 3) float32 BGR
+
+    @classmethod
+    def alexnet(cls, mean_path: str) -> "Preprocessor":
+        mean_chw = read_bin(mean_path, np.float32)  # (3, 256, 256) BGR
+        return cls(
+            full_h=256, full_w=256, crop_h=227, crop_w=227,
+            resz_type=ReszType.STRICT, mean_type=MeanType.FULL,
+            mean_image=np.transpose(mean_chw, (1, 2, 0)).copy(),
+        )
+
+    @classmethod
+    def vgg_cnn_s(cls, mean_path: str) -> "Preprocessor":
+        mean_chw = read_bin(mean_path, np.float32)
+        return cls(
+            full_h=256, full_w=256, crop_h=224, crop_w=224,
+            resz_type=ReszType.RELAXED, mean_type=MeanType.CROP,
+            mean_image=np.transpose(mean_chw, (1, 2, 0)).copy(),
+        )
+
+    def __call__(self, img_bgr_hwc: np.ndarray) -> np.ndarray:
+        """(H, W, 3) BGR float32 -> (crop_h, crop_w, 3) mean-subtracted."""
+        full = resize_bilinear(
+            img_bgr_hwc, self.full_h, self.full_w, self.resz_type
+        )
+        if self.mean_type is MeanType.FULL:
+            if full.shape != self.mean_image.shape:
+                raise ValueError(
+                    f"mean image {self.mean_image.shape} != full {full.shape}"
+                )
+            full = full - self.mean_image
+            return center_crop(full, self.crop_h, self.crop_w)
+        cropped = center_crop(full, self.crop_h, self.crop_w)
+        mean = self.mean_image
+        if mean.shape != cropped.shape:
+            mean = center_crop(mean, self.crop_h, self.crop_w)
+        return cropped - mean
+
+    def load(self, bmp_path: str) -> np.ndarray:
+        """BMP file -> (1, crop_h, crop_w, 3) NHWC batch-of-one
+        (the reference's BmpImgIO::Load, BmpImgIO.cc:40-71)."""
+        return self(read_bmp(bmp_path))[None]
+
+    def load_batch(self, bmp_paths) -> np.ndarray:
+        return np.stack([self(read_bmp(p)) for p in bmp_paths])
