@@ -1,0 +1,12 @@
+from qcnn_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated,
+)
+from qcnn_tpu.parallel.sharding import (  # noqa: F401
+    make_sharded_forward,
+    param_shardings,
+    shard_params,
+)

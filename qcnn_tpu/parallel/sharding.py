@@ -1,0 +1,125 @@
+"""Sharding rules for PQ model parameters and the sharded forward pass.
+
+Two tensor-parallel layouts for quantized FC layers (the only weight tensors
+that matter — SURVEY.md §6: fc6 alone is ~6x all conv weights combined):
+
+- ``column`` (default): assignments (Cout, S) and bias sharded over Cout on
+  the model axis; codebooks replicated. Every device builds the full (tiny)
+  LUT and gathers its slice of output channels; the activation all-gather
+  between consecutive FCs is GSPMD-inserted and rides ICI.
+- ``row``: codebooks (S, K, D) and assignments sharded over the sub-space
+  axis S. Each device LUT-builds and gather-accumulates its sub-spaces'
+  partial sums; a psum over the model axis produces the output. This is the
+  PQ analogue of contraction-sharded (Megatron row-parallel) GEMM.
+
+Conv parameters are replicated — they are KBs to a few MB and the conv path
+is activation-bound.
+
+Everything is expressed as NamedShardings on the params pytree plus
+with_sharding_constraint hints; XLA GSPMD inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from qcnn_tpu.core import ConvSpec, FCSpec, ModelSpec, is_pq
+from qcnn_tpu.models import network
+from qcnn_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, batch_sharding
+
+
+def param_shardings(
+    spec: ModelSpec,
+    params: Sequence[Optional[dict]],
+    mesh: Mesh,
+    *,
+    fc_mode: str = "column",
+) -> list:
+    """NamedSharding pytree matching the params list."""
+    if fc_mode not in ("column", "row", "replicated"):
+        raise ValueError(f"unknown fc_mode {fc_mode!r}")
+    rep = NamedSharding(mesh, P())
+    out: list = []
+    tp = mesh.shape[MODEL_AXIS]
+    for layer, p in zip(spec.layers, params):
+        if p is None:
+            out.append(None)
+            continue
+        if isinstance(layer, FCSpec) and is_pq(p) and fc_mode != "replicated":
+            cout, s = p["assignments"].shape
+            if fc_mode == "column" and cout % tp == 0:
+                out.append(
+                    {
+                        "codebooks": rep,
+                        "assignments": NamedSharding(mesh, P(MODEL_AXIS, None)),
+                        "bias": NamedSharding(mesh, P(MODEL_AXIS)),
+                    }
+                )
+                continue
+            if fc_mode == "row" and s % tp == 0:
+                out.append(
+                    {
+                        "codebooks": NamedSharding(mesh, P(MODEL_AXIS, None, None)),
+                        "assignments": NamedSharding(mesh, P(None, MODEL_AXIS)),
+                        "bias": rep,
+                    }
+                )
+                continue
+        # conv params / dense fallbacks / non-divisible shapes: replicate
+        out.append({k: rep for k in p})
+    return out
+
+
+def shard_params(
+    spec: ModelSpec,
+    params: Sequence[Optional[dict]],
+    mesh: Mesh,
+    *,
+    fc_mode: str = "column",
+) -> list:
+    """Device_put the params according to param_shardings."""
+    shardings = param_shardings(spec, params, mesh, fc_mode=fc_mode)
+    out = []
+    for p, s in zip(params, shardings):
+        if p is None:
+            out.append(None)
+        else:
+            out.append({k: jax.device_put(np.asarray(v), s[k]) for k, v in p.items()})
+    return out
+
+
+def make_sharded_forward(
+    spec: ModelSpec,
+    mesh: Mesh,
+    *,
+    conv_impl: str = "auto",
+    fc_impl: str = "auto",
+    fc_mode: str = "column",
+    with_softmax: bool = True,
+):
+    """Jitted forward with batch sharded on `data` and FC tensors on `model`.
+
+    The returned fn takes (sharded_params, x) and yields fully-replicated
+    probabilities (GSPMD inserts the final all-gather/psum).
+    """
+
+    def fwd(params, x):
+        x = jax.lax.with_sharding_constraint(x, batch_sharding(mesh, x.ndim))
+        out = network.forward(
+            params,
+            x,
+            spec=spec,
+            conv_impl=conv_impl,
+            fc_impl=fc_impl,
+            with_softmax=with_softmax,
+        )
+        return jax.lax.with_sharding_constraint(
+            out, NamedSharding(mesh, P(DATA_AXIS, None))
+        )
+
+    return jax.jit(fwd)
