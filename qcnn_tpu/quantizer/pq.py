@@ -1,0 +1,278 @@
+"""Product quantization of dense layers: plain and error-corrected.
+
+Implements the CVPR'16 Quantized-CNN quantization scheme as a JAX program
+(the piece the reference performed offline in MATLAB):
+
+- **plain**: per-sub-space k-means over the weight sub-vectors (one sample per
+  output unit per kernel position).
+- **input-weighted**: k-means in the metric induced by calibration
+  activations — minimizes E_x ||(w - c)·x_s||² = (w-c)ᵀ Σ_s (w-c), i.e.
+  Lloyd's in the Σ_s^{1/2}-transformed space.
+- **error-corrected**: block coordinate descent over sub-spaces; each round
+  refits sub-space s's codebook and assignments against the *residual* of the
+  layer response left by all other sub-spaces (the paper's error-correcting
+  training-free variant).
+
+Conventions match the reference layouts (SURVEY.md §2a):
+  FC weight (Cout, Cin) → codebooks (S, K, D), assignments (Cout, S)
+  Conv kernel (Cout, Cg, kh, kw) → assignments (Cout, kh, kw, S)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qcnn_tpu.quantizer.kmeans import subspace_kmeans
+
+
+class PQResult(NamedTuple):
+    codebooks: jax.Array    # (S, K, D)
+    assignments: jax.Array  # (n_units, S) int32
+    output_mse: jax.Array   # scalar; weight-space or response-space MSE
+
+
+def _split_subvectors(w_units_in: jax.Array, num_subspaces: int) -> jax.Array:
+    """(N_units, Cin) -> (S, N_units, D) with zero padding of the tail
+    sub-space (the loader's overhang convention, GetInPdMat clamp)."""
+    n, cin = w_units_in.shape
+    d = -(-cin // num_subspaces)
+    pad = num_subspaces * d - cin
+    if pad:
+        w_units_in = jnp.pad(w_units_in, ((0, 0), (0, pad)))
+    return jnp.transpose(
+        w_units_in.reshape(n, num_subspaces, d), (1, 0, 2)
+    )
+
+
+def quantize_plain(
+    key: jax.Array,
+    w_units_in: jax.Array,
+    *,
+    num_subspaces: int,
+    num_codewords: int,
+    iters: int = 25,
+) -> PQResult:
+    """Plain sub-space k-means on the weights."""
+    x = _split_subvectors(w_units_in, num_subspaces)
+    res = subspace_kmeans(
+        key, x, num_codewords=num_codewords, iters=iters
+    )
+    return PQResult(res.centroids, res.assignments.T, res.mse)
+
+
+def _chol_transform(xcal_sub: jax.Array, ridge: float) -> jax.Array:
+    """Cholesky factors L_s of Σ_s = X_sᵀX_s/N + ridge·I, shape (S, D, D)."""
+    s, n, d = xcal_sub.shape
+    cov = jnp.einsum(
+        "snd,sne->sde", xcal_sub, xcal_sub, preferred_element_type=jnp.float32
+    ) / n
+    tr = jnp.trace(cov, axis1=1, axis2=2)[:, None, None] / d
+    cov = cov + (ridge * tr + 1e-8) * jnp.eye(d)
+    return jnp.linalg.cholesky(cov)
+
+
+def quantize_input_weighted(
+    key: jax.Array,
+    w_units_in: jax.Array,
+    xcal: jax.Array,
+    *,
+    num_subspaces: int,
+    num_codewords: int,
+    iters: int = 25,
+    ridge: float = 1e-3,
+) -> PQResult:
+    """k-means in the activation-covariance metric: cluster L_sᵀ·w sub-vectors
+    with Euclidean Lloyd's, map centroids back through L_s⁻ᵀ."""
+    w_sub = _split_subvectors(w_units_in, num_subspaces)      # (S, N, D)
+    x_sub = _split_subvectors(xcal, num_subspaces)            # (S, B, D)
+    chol = _chol_transform(x_sub, ridge)                      # (S, D, D), lower
+    w_t = jnp.einsum("sde,sne->snd", jnp.transpose(chol, (0, 2, 1)), w_sub)
+    res = subspace_kmeans(key, w_t, num_codewords=num_codewords, iters=iters)
+    # back-transform: c = L⁻ᵀ c̃  (solve Lᵀ c = c̃)
+    c = jax.vmap(
+        lambda l, ck: jax.scipy.linalg.solve_triangular(l.T, ck.T, lower=False).T
+    )(chol, res.centroids)
+    quantized = jnp.take_along_axis(c, res.assignments[..., None], axis=1)
+    resp_mse = jnp.mean(
+        jnp.einsum("sbd,snd->snb", x_sub, w_sub - quantized) ** 2
+    )
+    return PQResult(c, res.assignments.T, resp_mse)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_subspaces", "num_codewords", "iters", "rounds")
+)
+def quantize_error_corrected(
+    key: jax.Array,
+    w_units_in: jax.Array,
+    xcal: jax.Array,
+    *,
+    num_subspaces: int,
+    num_codewords: int,
+    iters: int = 15,
+    rounds: int = 3,
+    ridge: float = 1e-3,
+) -> PQResult:
+    """Error-corrected PQ: alternate per-sub-space refits against the residual
+    layer response (block coordinate descent on ||X·W − X·Ŵ||²)."""
+    s_cnt, k_cnt = num_subspaces, num_codewords
+    w_sub = _split_subvectors(w_units_in, num_subspaces)      # (S, N, D)
+    x_sub = _split_subvectors(xcal, num_subspaces)            # (S, B, D)
+    n_units = w_sub.shape[1]
+    d = w_sub.shape[2]
+    b = x_sub.shape[1]
+
+    init = quantize_input_weighted(
+        key, w_units_in, xcal,
+        num_subspaces=num_subspaces, num_codewords=num_codewords,
+        iters=iters, ridge=ridge,
+    )
+    codebooks = init.codebooks                       # (S, K, D)
+    assigns = init.assignments.T                     # (S, N)
+
+    # target responses: y[s] = X_s W_sᵀ, total y = Σ_s y[s]  (B, N)
+    y_per_s = jnp.einsum(
+        "sbd,snd->sbn", x_sub, w_sub, preferred_element_type=jnp.float32
+    )
+    y_total = y_per_s.sum(axis=0)
+
+    gram = jnp.einsum(
+        "sbd,sbe->sde", x_sub, x_sub, preferred_element_type=jnp.float32
+    )
+    tr = jnp.trace(gram, axis1=1, axis2=2)[:, None, None] / d
+    gram = gram + (ridge * tr + 1e-8) * jnp.eye(d)
+
+    def approx_per_s(codebooks, assigns):
+        cw = jnp.take_along_axis(codebooks, assigns[..., None], axis=1)  # (S,N,D)
+        return jnp.einsum(
+            "sbd,snd->sbn", x_sub, cw, preferred_element_type=jnp.float32
+        )
+
+    def round_body(_, state):
+        codebooks, assigns = state
+
+        def per_subspace(si, state):
+            codebooks, assigns, approx = state
+            resid = y_total - (approx.sum(axis=0) - approx[si])  # (B, N)
+            xs = x_sub[si]                                       # (B, D)
+            # 1) re-assign: codeword responses (B, K) vs residual targets
+            cand = jnp.einsum(
+                "bd,kd->bk", xs, codebooks[si],
+                preferred_element_type=jnp.float32,
+            )
+            # cost[n,k] = ||resid[:,n] - cand[:,k]||²
+            cost = (
+                jnp.sum(cand * cand, axis=0)[None, :]
+                - 2.0 * jnp.einsum("bn,bk->nk", resid, cand)
+            )
+            a_new = jnp.argmin(cost, axis=1)                     # (N,)
+            # 2) refit codebook: per codeword k solve
+            #    G c_k = X_sᵀ · mean residual of its members
+            onehot = jax.nn.one_hot(a_new, k_cnt, dtype=xs.dtype)   # (N, K)
+            counts = onehot.sum(axis=0)                             # (K,)
+            rhs = jnp.einsum(
+                "bd,bn,nk->kd", xs, resid, onehot,
+                preferred_element_type=jnp.float32,
+            ) / jnp.maximum(counts, 1.0)[:, None]
+            # solve G·c = rhs per codeword (G is shared across codewords)
+            c_new = jnp.linalg.solve(
+                jnp.broadcast_to(gram[si], (k_cnt, d, d)), rhs[..., None]
+            )[..., 0]
+            c_new = jnp.where(counts[:, None] > 0, c_new, codebooks[si])
+            codebooks = codebooks.at[si].set(c_new)
+            assigns = assigns.at[si].set(a_new)
+            approx_si = jnp.einsum(
+                "bd,nd->bn", xs, c_new[a_new],
+                preferred_element_type=jnp.float32,
+            )
+            approx = approx.at[si].set(approx_si)
+            return codebooks, assigns, approx
+
+        approx = approx_per_s(codebooks, assigns)
+        codebooks, assigns, _ = jax.lax.fori_loop(
+            0, s_cnt, per_subspace, (codebooks, assigns, approx)
+        )
+        return codebooks, assigns
+
+    codebooks, assigns = jax.lax.fori_loop(
+        0, rounds, round_body, (codebooks, assigns)
+    )
+    resp_mse = jnp.mean((y_total - approx_per_s(codebooks, assigns).sum(0)) ** 2)
+    return PQResult(codebooks, assigns.T.astype(jnp.int32), resp_mse)
+
+
+# ---------------------------------------------------------------------------
+# Layer-level wrappers
+# ---------------------------------------------------------------------------
+
+def quantize_fc_layer(
+    key,
+    weight_out_in: np.ndarray,
+    bias: np.ndarray,
+    *,
+    num_subspaces: int,
+    num_codewords: int,
+    xcal: Optional[np.ndarray] = None,
+    **kwargs,
+) -> dict:
+    """weight (Cout, Cin) -> PQ fc params dict."""
+    w = jnp.asarray(weight_out_in, jnp.float32)
+    if xcal is None:
+        res = quantize_plain(
+            key, w, num_subspaces=num_subspaces, num_codewords=num_codewords,
+            **kwargs,
+        )
+    else:
+        res = quantize_error_corrected(
+            key, w, jnp.asarray(xcal, jnp.float32),
+            num_subspaces=num_subspaces, num_codewords=num_codewords, **kwargs,
+        )
+    return {
+        "codebooks": np.asarray(res.codebooks, np.float32),
+        "assignments": np.asarray(res.assignments, np.uint8),
+        "bias": np.asarray(bias, np.float32).reshape(-1),
+    }
+
+
+def quantize_conv_layer(
+    key,
+    kernel_oihw: np.ndarray,
+    bias: np.ndarray,
+    *,
+    num_subspaces: int,
+    num_codewords: int,
+    xcal: Optional[np.ndarray] = None,
+    **kwargs,
+) -> dict:
+    """kernel (Cout, Cg, kh, kw) (reference convKnl layout) -> PQ conv params.
+
+    Sub-vectors are the input-channel slices per (output, kernel position)
+    — the reference's data model (SURVEY.md §2a).
+    """
+    cout, cg, kh, kw = kernel_oihw.shape
+    # (Cout, kh, kw, Cg): one Cg-vector per (o, i, j)
+    w = np.transpose(kernel_oihw, (0, 2, 3, 1)).reshape(cout * kh * kw, cg)
+    w = jnp.asarray(w, jnp.float32)
+    if xcal is None:
+        res = quantize_plain(
+            key, w, num_subspaces=num_subspaces, num_codewords=num_codewords,
+            **kwargs,
+        )
+    else:
+        res = quantize_error_corrected(
+            key, w, jnp.asarray(xcal, jnp.float32),
+            num_subspaces=num_subspaces, num_codewords=num_codewords, **kwargs,
+        )
+    assigns = np.asarray(res.assignments, np.uint8).reshape(
+        cout, kh, kw, num_subspaces
+    )
+    return {
+        "codebooks": np.asarray(res.codebooks, np.float32),
+        "assignments": assigns,
+        "bias": np.asarray(bias, np.float32).reshape(-1),
+    }
