@@ -1,0 +1,146 @@
+"""Headline benchmark: AlexNet-PQ forward throughput on one chip.
+
+Reproduces the reference's speed test (UT_CaffeEva, /root/reference/src/
+UnitTest.cc:27-65): quantized AlexNet forward over ILSVRC-size inputs.
+The reference's published number is 55.348 ms/image = 18.07 img/s on one
+i7-4790K thread (/root/reference/README.md:25-30); `vs_baseline` is our
+img/s over that.
+
+Timing methodology: on the axon-tunneled TPU, jax.block_until_ready returns
+before device compute completes and every host<->device fetch costs ~30 ms
+RTT, so per-call wall timing is meaningless. Instead the repeat loop runs ON
+DEVICE as a lax.fori_loop whose carry threads a data dependency through every
+forward pass (so XLA cannot parallelize or elide iterations), and the cost of
+one fetch+loop at two different iteration counts is differenced:
+per_step = (t(K2) - t(K1)) / (K2 - K1).
+
+Prints ONE JSON line on stdout; progress goes to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_IMGS_PER_SEC = 1000.0 / 55.348  # README.md:30
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def load_params():
+    """Real reference codebooks/assignments when available (fc6 assignments
+    are a missing large blob upstream -> synthesized; timing is identical)."""
+    from qcnn_tpu.models.loader import load_alexnet_reference
+    from qcnn_tpu.models import synth, zoo
+
+    spec = zoo.alexnet()
+    try:
+        res = load_alexnet_reference(synthesize_missing=True)
+        log(f"loaded reference AlexNet weights "
+            f"(synthesized layers: {res.synthesized_layers})")
+        return spec, res.params
+    except (FileNotFoundError, OSError) as e:
+        log(f"reference weights unavailable ({e}); using synthetic params")
+        return spec, synth.random_pq_params(spec, seed=0)
+
+
+def make_looped(spec, conv_impl, fc_impl, iters):
+    """jit(params, x) -> scalar, running `iters` serialized forward passes."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from qcnn_tpu.models import network
+
+    def run(params, x):
+        def body(_, carry):
+            x, acc = carry
+            probs = network.forward(
+                params, x, spec=spec, conv_impl=conv_impl, fc_impl=fc_impl
+            )
+            acc = acc + jnp.sum(probs[0, :8])
+            # Serialize: next input depends on this output (numerically a
+            # no-op at 1e-30 scale, but un-elidable and un-reorderable).
+            x = x + acc * jnp.float32(1e-30)
+            return (x, acc)
+
+        _, acc = lax.fori_loop(0, iters, body, (x, jnp.float32(0.0)))
+        return acc.reshape(1)
+
+    return jax.jit(run)
+
+
+def timed_fetch(fn, params, x) -> float:
+    t0 = time.perf_counter()
+    _ = np.asarray(fn(params, x))
+    return time.perf_counter() - t0
+
+
+def measure_per_step(spec, params, x, conv_impl, fc_impl, k1, k2, reps=3):
+    """Median differenced per-step seconds over `reps` measurements."""
+    import jax.numpy as jnp
+
+    f1 = make_looped(spec, conv_impl, fc_impl, k1)
+    f2 = make_looped(spec, conv_impl, fc_impl, k2)
+    x = jnp.asarray(x)
+    timed_fetch(f1, params, x)  # compile
+    timed_fetch(f2, params, x)  # compile
+    diffs = []
+    for _ in range(reps):
+        t1 = timed_fetch(f1, params, x)
+        t2 = timed_fetch(f2, params, x)
+        diffs.append((t2 - t1) / (k2 - k1))
+    return float(np.median(diffs))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--conv-impl", default="auto")
+    ap.add_argument("--fc-impl", default="auto")
+    ap.add_argument("--k1", type=int, default=4)
+    ap.add_argument("--k2", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+
+    from qcnn_tpu.models import synth
+
+    log(f"jax {jax.__version__}, devices: {jax.devices()}")
+    spec, params = load_params()
+    params = jax.device_put(params)
+
+    per_step = measure_per_step(
+        spec, params, synth.random_input(spec, args.batch, seed=1),
+        args.conv_impl, args.fc_impl, args.k1, args.k2,
+    )
+    imgs_per_sec = args.batch / per_step
+    log(f"batch={args.batch}: {per_step*1e3:.3f} ms/step, "
+        f"{imgs_per_sec:.1f} img/s")
+
+    per_step1 = measure_per_step(
+        spec, params, synth.random_input(spec, 1, seed=2),
+        args.conv_impl, args.fc_impl, max(args.k1, 8), max(args.k2, 64),
+    )
+    log(f"batch=1: {per_step1*1e3:.3f} ms/image steady-state")
+
+    print(json.dumps({
+        "metric": "alexnet_pq_images_per_sec",
+        "value": round(imgs_per_sec, 2),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_sec / REFERENCE_IMGS_PER_SEC, 2),
+        "batch": args.batch,
+        "ms_per_image_batch1": round(per_step1 * 1e3, 4),
+        "device": str(jax.devices()[0].platform),
+    }))
+
+
+if __name__ == "__main__":
+    main()
