@@ -6,13 +6,11 @@ The reference's published number is 55.348 ms/image = 18.07 img/s on one
 i7-4790K thread (/root/reference/README.md:25-30); `vs_baseline` is our
 img/s over that.
 
-Timing methodology: on the axon-tunneled TPU, jax.block_until_ready returns
-before device compute completes and every host<->device fetch costs ~30 ms
-RTT, so per-call wall timing is meaningless. Instead the repeat loop runs ON
-DEVICE as a lax.fori_loop whose carry threads a data dependency through every
-forward pass (so XLA cannot parallelize or elide iterations), and the cost of
-one fetch+loop at two different iteration counts is differenced:
-per_step = (t(K2) - t(K1)) / (K2 - K1).
+Timing methodology: see qcnn_tpu/utils/devtime.py — the repeat loop runs ON
+DEVICE with a non-factorable data dependency between iterations and a full
+output reduction (naive wall timing measures nothing on the tunneled TPU:
+block_until_ready does not fence, fetches cost ~30 ms RTT, and XLA
+strength-reduces/DCEs loops whose iterations are algebraically shortcut-able).
 
 Prints ONE JSON line on stdout; progress goes to stderr.
 """
@@ -20,10 +18,8 @@ Prints ONE JSON line on stdout; progress goes to stderr.
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -51,53 +47,16 @@ def load_params():
         return spec, synth.random_pq_params(spec, seed=0)
 
 
-def make_looped(spec, conv_impl, fc_impl, iters):
-    """jit(params, x) -> scalar, running `iters` serialized forward passes."""
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
+def measure_per_step(spec, params, x, conv_impl, fc_impl, k1, k2):
     from qcnn_tpu.models import network
+    from qcnn_tpu.utils.devtime import time_device_fn
 
-    def run(params, x):
-        def body(_, carry):
-            x, acc = carry
-            probs = network.forward(
-                params, x, spec=spec, conv_impl=conv_impl, fc_impl=fc_impl
-            )
-            acc = acc + jnp.sum(probs[0, :8])
-            # Serialize: next input depends on this output (numerically a
-            # no-op at 1e-30 scale, but un-elidable and un-reorderable).
-            x = x + acc * jnp.float32(1e-30)
-            return (x, acc)
+    def step(x):
+        return network.forward(
+            params, x, spec=spec, conv_impl=conv_impl, fc_impl=fc_impl
+        )
 
-        _, acc = lax.fori_loop(0, iters, body, (x, jnp.float32(0.0)))
-        return acc.reshape(1)
-
-    return jax.jit(run)
-
-
-def timed_fetch(fn, params, x) -> float:
-    t0 = time.perf_counter()
-    _ = np.asarray(fn(params, x))
-    return time.perf_counter() - t0
-
-
-def measure_per_step(spec, params, x, conv_impl, fc_impl, k1, k2, reps=3):
-    """Median differenced per-step seconds over `reps` measurements."""
-    import jax.numpy as jnp
-
-    f1 = make_looped(spec, conv_impl, fc_impl, k1)
-    f2 = make_looped(spec, conv_impl, fc_impl, k2)
-    x = jnp.asarray(x)
-    timed_fetch(f1, params, x)  # compile
-    timed_fetch(f2, params, x)  # compile
-    diffs = []
-    for _ in range(reps):
-        t1 = timed_fetch(f1, params, x)
-        t2 = timed_fetch(f2, params, x)
-        diffs.append((t2 - t1) / (k2 - k1))
-    return float(np.median(diffs))
+    return time_device_fn(step, x, k1=k1, k2=k2)
 
 
 def main() -> None:

@@ -1,5 +1,5 @@
-"""Pallas TPU kernels for the PQ hot path (populated incrementally)."""
+"""Pallas TPU kernels for the PQ hot path."""
 
+from qcnn_tpu.ops.pallas.pq_fc import pq_fc_pallas
 
-def pq_fc_pallas(x, params):  # pragma: no cover - replaced by real kernel
-    raise NotImplementedError("Pallas pq_fc kernel lands in ops/pallas/pq_fc.py")
+__all__ = ["pq_fc_pallas"]

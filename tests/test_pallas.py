@@ -1,0 +1,51 @@
+"""Pallas kernel parity tests (interpreter mode on the CPU mesh).
+
+The jnp gather implementation (ops/fc.py pq_fc_gather) is the oracle — it is
+itself parity-tested against the decode path and mirrors the reference's
+pointer walk (CaffeEva.cc:1006-1017).
+"""
+
+import numpy as np
+import pytest
+
+from qcnn_tpu.ops.fc import pq_fc_gather
+from qcnn_tpu.ops.pallas import pq_fc_pallas
+
+
+def _mk(rng, b, cin, cout, s, k, d):
+    x = rng.standard_normal((b, cin)).astype(np.float32)
+    params = {
+        "codebooks": rng.standard_normal((s, k, d)).astype(np.float32),
+        "assignments": rng.integers(0, k, size=(cout, s), dtype=np.uint8),
+        "bias": rng.standard_normal(cout).astype(np.float32),
+    }
+    return x, params
+
+
+@pytest.mark.parametrize(
+    "b,cin,cout,s,k,d",
+    [
+        (8, 64, 256, 16, 32, 4),     # fc-like, everything aligned
+        (1, 64, 256, 16, 32, 4),     # batch 1 (padded to sublane tile)
+        (5, 60, 250, 15, 32, 4),     # nothing divisible: Cin<S*D, odd Cout/S
+        (4, 64, 128, 64, 16, 1),     # fc8 geometry: scalar sub-spaces, K=16
+        (2, 96, 200, 12, 128, 8),    # K=128 -> G=1 (conv-style codebook)
+        (3, 32, 96, 8, 200, 4),      # K>128 -> int32 index path
+    ],
+)
+def test_pq_fc_pallas_matches_gather(rng, b, cin, cout, s, k, d):
+    x, params = _mk(rng, b, cin, cout, s, k, d)
+    ref = np.asarray(pq_fc_gather(x, params))
+    got = np.asarray(
+        pq_fc_pallas(x, params, block_b=8, block_o=128, interpret=True)
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_pq_fc_pallas_alexnet_fc7_shape(rng):
+    """Real fc7 geometry: (1024, 32, 4) codebooks, 4096 outputs."""
+    x, params = _mk(rng, 8, 4096, 4096, 1024, 32, 4)
+    ref = np.asarray(pq_fc_gather(x, params))
+    got = np.asarray(pq_fc_pallas(x, params, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=3e-3)
