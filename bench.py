@@ -47,13 +47,14 @@ def load_params():
         return spec, synth.random_pq_params(spec, seed=0)
 
 
-def measure_per_step(spec, params, x, conv_impl, fc_impl, k1, k2):
+def measure_per_step(spec, params, x, conv_impls, fc_impls, dtype, k1, k2):
     from qcnn_tpu.models import network
     from qcnn_tpu.utils.devtime import time_device_fn
 
     def step(x):
         return network.forward(
-            params, x, spec=spec, conv_impl=conv_impl, fc_impl=fc_impl
+            params, x, spec=spec,
+            conv_impls=conv_impls, fc_impls=fc_impls, compute_dtype=dtype,
         )
 
     return time_device_fn(step, x, k1=k1, k2=k2)
@@ -64,29 +65,39 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--conv-impl", default="auto")
     ap.add_argument("--fc-impl", default="auto")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
     ap.add_argument("--k1", type=int, default=4)
     ap.add_argument("--k2", type=int, default=20)
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     from qcnn_tpu.models import synth
+    from qcnn_tpu.models.prepare import prepare_params
 
     log(f"jax {jax.__version__}, devices: {jax.devices()}")
     spec, params = load_params()
-    params = jax.device_put(params)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    prepared, conv_impls, fc_impls = prepare_params(
+        spec, params, batch_hint=args.batch,
+        conv_impl=args.conv_impl, fc_impl=args.fc_impl, dtype=dtype,
+    )
+    prepared = jax.device_put(prepared)
+    log(f"strategies: conv={conv_impls} fc={fc_impls} dtype={args.dtype}")
 
     per_step = measure_per_step(
-        spec, params, synth.random_input(spec, args.batch, seed=1),
-        args.conv_impl, args.fc_impl, args.k1, args.k2,
+        spec, prepared, synth.random_input(spec, args.batch, seed=1),
+        conv_impls, fc_impls, dtype, args.k1, args.k2,
     )
     imgs_per_sec = args.batch / per_step
     log(f"batch={args.batch}: {per_step*1e3:.3f} ms/step, "
         f"{imgs_per_sec:.1f} img/s")
 
     per_step1 = measure_per_step(
-        spec, params, synth.random_input(spec, 1, seed=2),
-        args.conv_impl, args.fc_impl, max(args.k1, 8), max(args.k2, 64),
+        spec, prepared, synth.random_input(spec, 1, seed=2),
+        conv_impls, fc_impls, dtype, max(args.k1, 8), max(args.k2, 64),
     )
     log(f"batch=1: {per_step1*1e3:.3f} ms/image steady-state")
 

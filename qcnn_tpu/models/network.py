@@ -98,6 +98,9 @@ def forward(
     conv_impl: str = "auto",
     fc_impl: str = "auto",
     with_softmax: bool = True,
+    compute_dtype=None,
+    conv_impls: Optional[tuple[str, ...]] = None,
+    fc_impls: Optional[tuple[str, ...]] = None,
 ) -> jax.Array:
     """Run the full forward pass.
 
@@ -105,14 +108,24 @@ def forward(
       params: one entry per layer; dict for conv/fc (PQ or dense), None for
         parameter-free layers.
       x: (B, H, W, C) NHWC activations (BGR, mean-subtracted).
+      compute_dtype: when set (e.g. jnp.bfloat16), activations are kept in
+        this dtype between layers; matmul/conv accumulation and the final
+        softmax stay float32.
+      conv_impls/fc_impls: pre-resolved per-layer strategies (from
+        models.prepare.prepare_params); overrides conv_impl/fc_impl.
     Returns:
       (B, num_classes) class probabilities (or logits if with_softmax=False).
     """
     if x.ndim != 4:
         raise ValueError(f"expected NHWC input, got shape {x.shape}")
-    conv_strat, fc_strat = resolve_strategy(
-        spec, params, x.shape[0], conv_impl, fc_impl
-    )
+    if conv_impls is not None and fc_impls is not None:
+        conv_strat, fc_strat = conv_impls, fc_impls
+    else:
+        conv_strat, fc_strat = resolve_strategy(
+            spec, params, x.shape[0], conv_impl, fc_impl
+        )
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
 
     first_fc_done = False
     for i, (layer, p) in enumerate(zip(spec.layers, params)):
@@ -128,6 +141,8 @@ def forward(
                     stride=layer.stride, pad=layer.pad, groups=layer.groups,
                     impl=conv_strat[i],
                 )
+            if compute_dtype is not None:
+                x = x.astype(compute_dtype)
         elif isinstance(layer, PoolSpec):
             x = caffe_max_pool(
                 x, kernel=layer.kernel, stride=layer.stride, pad=layer.pad
@@ -143,6 +158,8 @@ def forward(
                 x = fc_dense(x, p["weight"], p["bias"])
             else:
                 x = pq_fc(x, p, impl=fc_strat[i])
+            if compute_dtype is not None:
+                x = x.astype(compute_dtype)
         elif isinstance(layer, ReLUSpec):
             x = relu(x)
         elif isinstance(layer, LRNSpec):
@@ -151,7 +168,7 @@ def forward(
             x = dropout_inference(x)
         elif isinstance(layer, SoftmaxSpec):
             if with_softmax:
-                x = softmax(x)
+                x = softmax(x.astype(jnp.float32))
         else:
             raise TypeError(f"unhandled layer spec: {layer!r}")
     return x
@@ -164,6 +181,9 @@ def make_forward_fn(
     fc_impl: str = "auto",
     with_softmax: bool = True,
     donate_input: bool = False,
+    compute_dtype=None,
+    conv_impls: Optional[tuple[str, ...]] = None,
+    fc_impls: Optional[tuple[str, ...]] = None,
 ):
     """Build a jitted forward(params, x) for a fixed spec/strategy."""
     fn = functools.partial(
@@ -172,6 +192,9 @@ def make_forward_fn(
         conv_impl=conv_impl,
         fc_impl=fc_impl,
         with_softmax=with_softmax,
+        compute_dtype=compute_dtype,
+        conv_impls=conv_impls,
+        fc_impls=fc_impls,
     )
     return jax.jit(fn, donate_argnums=(1,) if donate_input else ())
 

@@ -40,7 +40,12 @@ def conv_dense(
     pad: int,
     groups: int = 1,
 ) -> jax.Array:
-    """x: (B,H,W,Cin), kernel: (kh,kw,Cin/groups,Cout) -> (B,Ho,Wo,Cout)."""
+    """x: (B,H,W,Cin), kernel: (kh,kw,Cin/groups,Cout) -> (B,Ho,Wo,Cout).
+
+    Computes in the kernel's dtype (bf16 kernels -> bf16 MXU passes) with
+    float32 accumulation; output is float32 + bias."""
+    if x.dtype != kernel.dtype:
+        x = x.astype(kernel.dtype)
     out = lax.conv_general_dilated(
         x,
         kernel,

@@ -14,7 +14,10 @@ from qcnn_tpu.ops import lut as lut_ops
 
 
 def fc_dense(x: jax.Array, weight: jax.Array, bias: jax.Array) -> jax.Array:
-    """x: (B, Cin), weight: (Cin, Cout) -> (B, Cout)."""
+    """x: (B, Cin), weight: (Cin, Cout) -> (B, Cout). Computes in the
+    weight's dtype with float32 accumulation."""
+    if x.dtype != weight.dtype:
+        x = x.astype(weight.dtype)
     return jnp.dot(x, weight, preferred_element_type=jnp.float32) + bias
 
 

@@ -23,7 +23,7 @@ def caffe_max_pool(
     pad_w_hi = max(0, (ow - 1) * stride + kernel - w - pad)
     return lax.reduce_window(
         x,
-        -jnp.inf,
+        jnp.asarray(-jnp.inf, x.dtype),
         lax.max,
         window_dimensions=(1, kernel, kernel, 1),
         window_strides=(1, stride, stride, 1),
@@ -42,8 +42,9 @@ def lrn(
     with a channel window of `size` centred at each channel, zero-padded.
     """
     radius = (size - 1) // 2
+    xf = x.astype(jnp.float32)
     sq_sum = lax.reduce_window(
-        x * x,
+        xf * xf,
         0.0,
         lax.add,
         window_dimensions=(1, 1, 1, size),
@@ -51,7 +52,7 @@ def lrn(
         padding=((0, 0), (0, 0), (0, 0), (radius, size - 1 - radius)),
     )
     scale = k + (alpha / size) * sq_sum
-    return x * jnp.power(scale, -beta)
+    return (xf * jnp.power(scale, -beta)).astype(x.dtype)
 
 
 def relu(x: jax.Array) -> jax.Array:

@@ -1,0 +1,78 @@
+"""Prepared-execution parity: decode-at-load + bf16 compute vs f32 PQ path."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from qcnn_tpu.models import network, synth, zoo
+from qcnn_tpu.models.prepare import prepare_params
+
+
+def _tiny():
+    from qcnn_tpu.core import (
+        ConvSpec, FCSpec, LRNSpec, ModelSpec, PoolSpec, ReLUSpec, SoftmaxSpec,
+    )
+
+    return ModelSpec(
+        name="tiny", in_height=15, in_width=15, in_channels=8,
+        layers=(
+            ConvSpec(kernel=3, out_channels=32, pad=1, groups=2, stride=2),
+            ReLUSpec(),
+            LRNSpec(5, 1e-4, 0.75, 1.0),
+            PoolSpec(kernel=3, stride=2),
+            FCSpec(64),
+            ReLUSpec(),
+            FCSpec(16),
+            SoftmaxSpec(),
+        ),
+    )
+
+
+def test_prepare_decode_f32_is_exact():
+    spec = _tiny()
+    params = synth.random_pq_params(spec, seed=3)
+    x = synth.random_input(spec, batch=4, seed=4)
+    ref = np.asarray(network.forward(params, x, spec=spec, fc_impl="gather"))
+    prepared, conv_impls, fc_impls = prepare_params(
+        spec, params, conv_impl="decode", fc_impl="decode", dtype=jnp.float32
+    )
+    got = np.asarray(
+        network.forward(
+            prepared, x, spec=spec, conv_impls=conv_impls, fc_impls=fc_impls
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_prepare_bf16_top1_agreement():
+    spec = _tiny()
+    params = synth.random_pq_params(spec, seed=5)
+    x = synth.random_input(spec, batch=16, seed=6)
+    ref = np.asarray(network.forward(params, x, spec=spec))
+    prepared, conv_impls, fc_impls = prepare_params(
+        spec, params, dtype=jnp.bfloat16
+    )
+    got = np.asarray(
+        network.forward(
+            prepared, x, spec=spec, conv_impls=conv_impls,
+            fc_impls=fc_impls, compute_dtype=jnp.bfloat16,
+        )
+    )
+    assert got.dtype == np.float32  # softmax upcasts
+    # bf16 compute: probabilities close, argmax agrees
+    np.testing.assert_allclose(got, ref, atol=0.05)
+    np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
+
+
+def test_prepare_alexnet_shapes():
+    spec = zoo.alexnet()
+    params = synth.random_pq_params(spec, seed=7)
+    prepared, conv_impls, fc_impls = prepare_params(spec, params)
+    # all conv+fc resolve to dense after decode-at-load
+    assert all(c in ("-", "dense") for c in conv_impls)
+    for layer, p, fi in zip(spec.layers, prepared, fc_impls):
+        if p is None:
+            continue
+        if "kernel" in p:
+            assert p["kernel"].dtype == jnp.bfloat16
+        if "weight" in p:
+            assert p["weight"].dtype == jnp.bfloat16
