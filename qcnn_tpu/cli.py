@@ -1,0 +1,316 @@
+"""Command-line entry points: classify / eval / convert / quantize / profile.
+
+The reference selects between its three scenarios by editing src/Main.cc:10-23
+and recompiling; here each scenario (and the ones the reference lacks) is a
+subcommand of `python -m qcnn_tpu`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# classify — single/multi image (UT_CaffeEvaWrapper, src/UnitTest.cc:67-124)
+# ---------------------------------------------------------------------------
+
+def cmd_classify(args) -> int:
+    from qcnn_tpu.eval.harness import Classifier
+
+    clf = Classifier.from_reference(
+        args.model,
+        args.reference_dir,
+        class_names_path=os.path.join(
+            args.reference_dir, "Cls.Names", "class_names.txt"
+        ),
+        image_labels_path=os.path.join(
+            args.reference_dir, "Cls.Names", "image_labels.txt"
+        ),
+    )
+    if clf.load_result.synthesized_layers:
+        log(f"[WARN] layers {clf.load_result.synthesized_layers} use "
+            "synthesized assignments (upstream blob missing); predictions "
+            "from those layers are not meaningful")
+    paths = []
+    for pattern in args.images:
+        matched = sorted(glob.glob(pattern))
+        paths.extend(matched if matched else [pattern])
+    correct = 0
+    judged = 0
+    for p in paths:
+        res = clf.classify(p, top_k=args.top_k)
+        print(f"{os.path.basename(p)}:")
+        for cid, prob, name in zip(res.class_ids, res.probs, res.class_names):
+            print(f"  {prob:6.4f}  {cid:4d}  {name}")
+        if res.ground_truth is not None:
+            hit = res.ground_truth in res.class_names
+            judged += 1
+            correct += hit
+            print(f"  ground truth: {res.ground_truth}"
+                  f" ({'HIT' if hit else 'MISS'} in top-{args.top_k})")
+    if judged:
+        print(f"top-{args.top_k} accuracy over {judged} labeled images: "
+              f"{correct / judged:.3f}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# eval — dataset accuracy (UT_CaffeEva, src/UnitTest.cc:27-65)
+# ---------------------------------------------------------------------------
+
+def cmd_eval(args) -> int:
+    import numpy as np
+
+    from qcnn_tpu.eval.harness import Classifier, accuracy_at_k
+
+    clf = Classifier.from_reference(
+        args.model,
+        args.reference_dir,
+        class_names_path=os.path.join(
+            args.reference_dir, "Cls.Names", "class_names.txt"
+        ),
+        image_labels_path=os.path.join(
+            args.reference_dir, "Cls.Names", "image_labels.txt"
+        ),
+    )
+    data_path = os.path.join(
+        args.reference_dir, "ILSVRC12.227x227.IMG", "dataMatTst.single.bin"
+    )
+    labl_path = os.path.join(
+        args.reference_dir, "ILSVRC12.227x227.IMG", "lablVecTst.uint16.bin"
+    )
+    if os.path.exists(data_path):
+        from qcnn_tpu.formats import read_bin
+        from qcnn_tpu.eval.harness import evaluate_dataset
+
+        images = read_bin(data_path, np.float32)[: args.limit]
+        labels = read_bin(labl_path, np.uint16).reshape(-1)[: args.limit]
+        images = np.transpose(images, (0, 2, 3, 1))  # NCHW -> NHWC
+        rep = evaluate_dataset(
+            clf._fwd, clf.params, images, labels.astype(np.int64),
+            batch_size=args.batch,
+        )
+        for k, v in rep["accuracy"].items():
+            print(f"ACCURACY@{k}: {v:.4f}")
+        print(f"{rep['images']} images, {rep['images_per_s']:.1f} img/s")
+        return 0
+    # Fallback: the 10 shipped BMPs with labels (the big .bin is a
+    # download-only blob, reference README.md:7-11)
+    log(f"dataset blob not found at {data_path}; evaluating shipped BMPs")
+    bmps = sorted(
+        glob.glob(os.path.join(args.reference_dir, "Bmp.Files", "*.BMP"))
+    )[: args.limit]
+    if not bmps:
+        log("no BMP files found either — nothing to evaluate")
+        return 1
+    probs, labels = [], []
+    for p in bmps:
+        x = clf.pre.load(p)
+        pb = np.asarray(clf._fwd(clf.params, x))[0]
+        stem = os.path.splitext(os.path.basename(p))[0]
+        if stem in clf.image_labels:
+            probs.append(pb)
+            labels.append(clf.image_labels[stem])
+    acc = accuracy_at_k(np.stack(probs), np.asarray(labels))
+    for k, v in acc.items():
+        print(f"ACCURACY@{k}: {v:.4f}  ({len(labels)} images)")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# convert — assignment encoding round-trip (UT_CaffePara, UnitTest.cc:15-25)
+# ---------------------------------------------------------------------------
+
+def cmd_convert(args) -> int:
+    from qcnn_tpu.formats import convert_asmt
+
+    convert_asmt(args.src, args.dst)
+    log(f"converted {args.src} -> {args.dst}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# import / export — reference files <-> native checkpoint
+# ---------------------------------------------------------------------------
+
+def cmd_import(args) -> int:
+    from qcnn_tpu.formats.checkpoint import save_checkpoint
+    from qcnn_tpu.models.loader import load_reference_model
+    from qcnn_tpu.models.zoo import get_model
+
+    spec = get_model(args.model)
+    res = load_reference_model(
+        spec, args.weights_dir, args.prefix,
+        synthesize_missing=args.synthesize_missing,
+    )
+    if res.synthesized_layers:
+        log(f"[WARN] synthesized assignments for layers "
+            f"{res.synthesized_layers}")
+    save_checkpoint(args.checkpoint, spec, res.params)
+    log(f"wrote checkpoint {args.checkpoint}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# quantize — FP32 checkpoint -> PQ checkpoint (the reference delegates this
+# to offline MATLAB; here it is a first-class JAX program)
+# ---------------------------------------------------------------------------
+
+def cmd_quantize(args) -> int:
+    import jax
+    import numpy as np
+
+    from qcnn_tpu.core import ConvSpec, FCSpec, is_pq
+    from qcnn_tpu.formats.checkpoint import load_checkpoint, save_checkpoint
+    from qcnn_tpu.quantizer.pq import quantize_conv_layer, quantize_fc_layer
+
+    spec, params = load_checkpoint(args.checkpoint)
+    out_params = []
+    key = jax.random.key(args.seed)
+    for i, (layer, p) in enumerate(zip(spec.layers, params)):
+        if p is None or is_pq(p):
+            out_params.append(p)
+            continue
+        key, sub = jax.random.split(key)
+        if isinstance(layer, ConvSpec) and "kernel" in p:
+            # checkpoint stores HWIO; the quantizer takes the reference's
+            # OIHW convKnl layout
+            kernel = np.transpose(np.asarray(p["kernel"]), (3, 2, 0, 1))
+            cg = kernel.shape[1]
+            q = quantize_conv_layer(
+                sub, kernel, p["bias"],
+                num_subspaces=-(-cg // args.conv_subvec_len),
+                num_codewords=args.conv_codewords,
+            )
+        elif isinstance(layer, FCSpec) and "weight" in p:
+            weight = np.asarray(p["weight"]).T  # (Cin,Cout) -> (Cout,Cin)
+            q = quantize_fc_layer(
+                sub, weight, p["bias"],
+                num_subspaces=-(-weight.shape[1] // args.fc_subvec_len),
+                num_codewords=args.fc_codewords,
+            )
+        else:
+            out_params.append(p)
+            continue
+        out_params.append(q)
+        log(f"layer {i} ({type(layer).__name__}): quantized")
+    save_checkpoint(args.out, spec, out_params)
+    log(f"wrote PQ checkpoint {args.out}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# profile — per-layer device times (DispElpsTime, CaffeEva.cc:297-326)
+# ---------------------------------------------------------------------------
+
+def cmd_profile(args) -> int:
+    import jax.numpy as jnp
+
+    from qcnn_tpu.eval.profiler import profile_layers, format_table
+    from qcnn_tpu.models import synth
+    from qcnn_tpu.models.loader import load_alexnet_reference
+    from qcnn_tpu.models.prepare import prepare_params
+    from qcnn_tpu.models.zoo import get_model
+
+    spec = get_model(args.model)
+    if args.model == "alexnet" and os.path.isdir(args.reference_dir):
+        params = load_alexnet_reference(
+            args.reference_dir, synthesize_missing=True
+        ).params
+    else:
+        params = synth.random_pq_params(spec, seed=0)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    prepared, ci, fi = prepare_params(
+        spec, params, batch_hint=args.batch,
+        conv_impl=args.conv_impl, fc_impl=args.fc_impl, dtype=dtype,
+    )
+    x = synth.random_input(spec, args.batch, seed=1)
+    profs = profile_layers(
+        spec, prepared, x, conv_impls=ci, fc_impls=fi, compute_dtype=dtype
+    )
+    print(format_table(profs))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="qcnn_tpu")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser("classify", help="classify BMP images")
+    c.add_argument("images", nargs="+")
+    c.add_argument("--model", default="alexnet")
+    c.add_argument("--reference-dir", default="/root/reference")
+    c.add_argument("--top-k", type=int, default=5)
+    c.set_defaults(fn=cmd_classify)
+
+    e = sub.add_parser("eval", help="dataset accuracy")
+    e.add_argument("--model", default="alexnet")
+    e.add_argument("--reference-dir", default="/root/reference")
+    e.add_argument("--batch", type=int, default=64)
+    e.add_argument("--limit", type=int, default=1000)
+    e.set_defaults(fn=cmd_eval)
+
+    v = sub.add_parser("convert", help="convert assignment .bin <-> .cbn")
+    v.add_argument("src")
+    v.add_argument("dst")
+    v.set_defaults(fn=cmd_convert)
+
+    im = sub.add_parser("import", help="reference files -> native checkpoint")
+    im.add_argument("checkpoint")
+    im.add_argument("--model", default="alexnet")
+    im.add_argument("--weights-dir",
+                    default="/root/reference/AlexNet/Bin.Files")
+    im.add_argument("--prefix", default="bvlc_alexnet_aCaF")
+    im.add_argument("--synthesize-missing", action="store_true")
+    im.set_defaults(fn=cmd_import)
+
+    q = sub.add_parser("quantize", help="FP32 checkpoint -> PQ checkpoint")
+    q.add_argument("checkpoint")
+    q.add_argument("out")
+    q.add_argument("--conv-subvec-len", type=int, default=8)
+    q.add_argument("--conv-codewords", type=int, default=128)
+    q.add_argument("--fc-subvec-len", type=int, default=4)
+    q.add_argument("--fc-codewords", type=int, default=32)
+    q.add_argument("--seed", type=int, default=0)
+    q.set_defaults(fn=cmd_quantize)
+
+    p = sub.add_parser("profile", help="per-layer device times")
+    p.add_argument("--model", default="alexnet")
+    p.add_argument("--reference-dir", default="/root/reference")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--conv-impl", default="auto")
+    p.add_argument("--fc-impl", default="auto")
+    p.set_defaults(fn=cmd_profile)
+    return ap
+
+
+def main(argv=None) -> int:
+    # Persistent compilation cache: CLI invocations are separate processes,
+    # and a cold AlexNet compile costs ~1-2 min over the remote-compile
+    # tunnel. Harmless off-TPU.
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/qcnn_tpu/jax"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - cache is an optimization only
+        pass
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

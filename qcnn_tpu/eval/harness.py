@@ -61,14 +61,34 @@ class Classifier:
         *,
         conv_impl: str = "auto",
         fc_impl: str = "auto",
+        compute_dtype=None,
     ) -> None:
+        import jax
+
+        from qcnn_tpu.models.prepare import prepare_params
+
         self.spec = spec
-        self.params = params
         self.pre = preprocessor
         self.class_names = class_names or []
         self.image_labels = image_labels or {}
         self.timers = TimerSet()
-        self._fwd = make_forward_fn(spec, conv_impl=conv_impl, fc_impl=fc_impl)
+        if compute_dtype is None:
+            compute_dtype = (
+                jnp.bfloat16 if jax.default_backend() == "tpu"
+                else jnp.float32
+            )
+        # Prepare once (decode-at-load): at batch 1 the auto onehot FC path
+        # materializes GB-scale one-hot intermediates and is never the right
+        # default for serving.
+        prepared, conv_impls, fc_impls = prepare_params(
+            spec, params,
+            conv_impl=conv_impl, fc_impl=fc_impl, dtype=compute_dtype,
+        )
+        self.params = jax.device_put(prepared)
+        self._fwd = make_forward_fn(
+            spec, conv_impls=conv_impls, fc_impls=fc_impls,
+            compute_dtype=compute_dtype,
+        )
 
     @classmethod
     def from_reference(

@@ -1,0 +1,161 @@
+"""Native checkpoint format: a self-describing model spec + parameter store.
+
+Replaces the reference's loose-file weight directory (CaffePara::LoadLayerPara,
+src/CaffePara.cc:239-306, where the architecture lives in compiled-in C++ and
+the files carry no schema) with a single portable artifact:
+
+  <path>/spec.json     model architecture (ModelSpec, versioned)
+  <path>/params.npz    one entry per tensor: "L{i:02d}.{name}"
+  <path>/manifest.json format version, per-layer kinds, dtype/shape table
+
+uint8 assignments are stored bit-packed (the .cbn idea, FileIO.h:110-178,
+generalized: ceil(log2(K)) bits per index, little-endian bit order, no page
+structure) so a checkpoint is about as small as the reference's compact form.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from qcnn_tpu.core import types as core_types
+from qcnn_tpu.core import ModelSpec
+
+FORMAT_VERSION = 1
+
+_SPEC_CLASSES = {
+    "ConvSpec": core_types.ConvSpec,
+    "PoolSpec": core_types.PoolSpec,
+    "FCSpec": core_types.FCSpec,
+    "ReLUSpec": core_types.ReLUSpec,
+    "LRNSpec": core_types.LRNSpec,
+    "DropoutSpec": core_types.DropoutSpec,
+    "SoftmaxSpec": core_types.SoftmaxSpec,
+}
+
+
+def spec_to_dict(spec: ModelSpec) -> dict:
+    layers = []
+    for layer in spec.layers:
+        d = dataclasses.asdict(layer)
+        d.pop("kind", None)
+        layers.append({"type": type(layer).__name__, **d})
+    return {
+        "name": spec.name,
+        "in_height": spec.in_height,
+        "in_width": spec.in_width,
+        "in_channels": spec.in_channels,
+        "layers": layers,
+    }
+
+
+def spec_from_dict(d: dict) -> ModelSpec:
+    layers = []
+    for ld in d["layers"]:
+        ld = dict(ld)
+        cls = _SPEC_CLASSES[ld.pop("type")]
+        layers.append(cls(**ld))
+    return ModelSpec(
+        name=d["name"],
+        in_height=d["in_height"],
+        in_width=d["in_width"],
+        in_channels=d["in_channels"],
+        layers=tuple(layers),
+    )
+
+
+def pack_indices(asmt: np.ndarray, num_codewords: int) -> tuple[np.ndarray, int]:
+    """Bit-pack uint8/int indices at ceil(log2(K)) bits each (little-endian
+    bit order within the stream; cf. the reference's MSB-first page codec,
+    FileIO.h:281-350 — layout here is our own, simpler and page-free)."""
+    bits = max(1, int(np.ceil(np.log2(max(num_codewords, 2)))))
+    flat = np.asarray(asmt, np.uint32).ravel()
+    n = flat.size
+    # expand to bit matrix (n, bits) then pack
+    bitmat = ((flat[:, None] >> np.arange(bits)[None, :]) & 1).astype(np.uint8)
+    packed = np.packbits(bitmat.ravel(), bitorder="little")
+    return packed, bits
+
+
+def unpack_indices(
+    packed: np.ndarray, bits: int, shape: tuple[int, ...]
+) -> np.ndarray:
+    n = int(np.prod(shape))
+    bitstream = np.unpackbits(
+        np.asarray(packed, np.uint8), count=n * bits, bitorder="little"
+    )
+    bitmat = bitstream.reshape(n, bits).astype(np.uint32)
+    vals = (bitmat << np.arange(bits)[None, :]).sum(axis=1, dtype=np.uint32)
+    return vals.reshape(shape).astype(np.uint8 if bits <= 8 else np.uint16)
+
+
+def save_checkpoint(
+    path: str, spec: ModelSpec, params: Sequence[Optional[dict]]
+) -> None:
+    os.makedirs(path, exist_ok=True)
+    arrays: dict[str, np.ndarray] = {}
+    layer_meta = []
+    for i, p in enumerate(params):
+        if p is None:
+            layer_meta.append(None)
+            continue
+        meta: dict = {"tensors": {}}
+        for name, value in p.items():
+            arr = np.asarray(value)
+            key = f"L{i:02d}.{name}"
+            if name == "assignments":
+                k = int(np.asarray(p["codebooks"]).shape[1])
+                packed, bits = pack_indices(arr, k)
+                arrays[key] = packed
+                meta["tensors"][name] = {
+                    "packed_bits": bits,
+                    "shape": list(arr.shape),
+                    "dtype": str(arr.dtype),
+                }
+            else:
+                arrays[key] = arr
+                meta["tensors"][name] = {
+                    "shape": list(arr.shape),
+                    "dtype": str(arr.dtype),
+                }
+        layer_meta.append(meta)
+    np.savez_compressed(os.path.join(path, "params.npz"), **arrays)
+    with open(os.path.join(path, "spec.json"), "w") as f:
+        json.dump(spec_to_dict(spec), f, indent=1)
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(
+            {"format_version": FORMAT_VERSION, "layers": layer_meta}, f
+        )
+
+
+def load_checkpoint(path: str) -> tuple[ModelSpec, list]:
+    with open(os.path.join(path, "spec.json")) as f:
+        spec = spec_from_dict(json.load(f))
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest["format_version"] > FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint format {manifest['format_version']} is newer than "
+            f"supported {FORMAT_VERSION}"
+        )
+    data = np.load(os.path.join(path, "params.npz"))
+    params: list = []
+    for i, meta in enumerate(manifest["layers"]):
+        if meta is None:
+            params.append(None)
+            continue
+        p = {}
+        for name, tmeta in meta["tensors"].items():
+            key = f"L{i:02d}.{name}"
+            arr = data[key]
+            if "packed_bits" in tmeta:
+                arr = unpack_indices(
+                    arr, tmeta["packed_bits"], tuple(tmeta["shape"])
+                )
+            p[name] = arr
+        params.append(p)
+    return spec, params

@@ -45,14 +45,14 @@ from qcnn_tpu.ops import (
     softmax,
 )
 
-# Per-layer PQ execution strategies. "auto" resolves to decode for convs
-# (weights are small; MXU conv is speed-of-light) and for FCs picks the LUT
-# kernel at small batch / decode-GEMM at large batch, where the crossover is
-# set by weight bytes vs per-example LUT+gather cost (see ops/fc.py).
+# Per-layer PQ execution strategies. "auto" resolves to decode everywhere:
+# measured on the attached chip (benchmarks/fc_kernels.py), the decode-GEMM
+# runs at the HBM weight-stream roofline and beats every LUT formulation at
+# every batch size — any gather realization pays ~S*K*Cout VPU select ops,
+# ~170x slower per element than MXU MACs. The LUT paths remain as explicit
+# memory-mode options (codebooks+assignments are ~21x smaller than dense).
 CONV_IMPLS = ("decode", "lut")
 FC_IMPLS = ("onehot", "gather", "decode", "pallas")
-
-_FC_AUTO_BATCH_CROSSOVER = 64
 
 
 def resolve_strategy(
@@ -78,9 +78,7 @@ def resolve_strategy(
             if not is_pq(p):
                 fc_choices.append("dense")
             elif fc_impl == "auto":
-                fc_choices.append(
-                    "onehot" if batch <= _FC_AUTO_BATCH_CROSSOVER else "decode"
-                )
+                fc_choices.append("decode")
             else:
                 fc_choices.append(fc_impl)
             conv_choices.append("-")

@@ -22,11 +22,36 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 
 from qcnn_tpu.core import ConvSpec, FCSpec, ModelSpec, is_pq
 from qcnn_tpu.models import network
-from qcnn_tpu.ops import lut as lut_ops
+
+# Preparation runs on the HOST in NumPy: on the remote-TPU tunnel, eager
+# device ops cost a compile each (measured: 39 s to prepare AlexNet via
+# jnp decode vs <1 s in NumPy). ml_dtypes provides the bfloat16 NumPy dtype.
+
+
+def _np_dtype(dtype):
+    return ml_dtypes.bfloat16 if dtype in (jnp.bfloat16, "bfloat16") else dtype
+
+
+def _decode_fc_weight_np(codebooks, assignments, in_features):
+    s, k, d = codebooks.shape
+    gathered = codebooks[np.arange(s)[None, :], assignments.astype(np.int64)]
+    w = gathered.reshape(assignments.shape[0], s * d)[:, :in_features]
+    return w.T  # (Cin, Cout)
+
+
+def _decode_conv_kernel_np(codebooks, assignments, cg):
+    s, k, d = codebooks.shape
+    cout, kh, kw, _ = assignments.shape
+    gathered = codebooks[
+        np.arange(s)[None, None, None, :], assignments.astype(np.int64)
+    ]  # (Cout, kh, kw, S, D)
+    w = gathered.reshape(cout, kh, kw, s * d)[..., :cg]
+    return np.transpose(w, (1, 2, 3, 0))  # HWIO
 
 
 def prepare_params(
@@ -61,19 +86,19 @@ def prepare_params(
             elif not is_pq(p):
                 conv_final.append("dense")
                 out.append(
-                    {"kernel": jnp.asarray(p["kernel"], dtype),
-                     "bias": jnp.asarray(p["bias"], jnp.float32)}
+                    {"kernel": np.asarray(p["kernel"], _np_dtype(dtype)),
+                     "bias": np.asarray(p["bias"], np.float32)}
                 )
             elif conv_strat[i] == "decode":
-                kernel = lut_ops.decode_conv_kernel(
-                    jnp.asarray(p["codebooks"]),
-                    jnp.asarray(p["assignments"]),
+                kernel = _decode_conv_kernel_np(
+                    np.asarray(p["codebooks"]),
+                    np.asarray(p["assignments"]),
                     c // layer.groups,
                 )
                 conv_final.append("dense")
                 out.append(
-                    {"kernel": kernel.astype(dtype),
-                     "bias": jnp.asarray(p["bias"], jnp.float32)}
+                    {"kernel": kernel.astype(_np_dtype(dtype)),
+                     "bias": np.asarray(p["bias"], np.float32)}
                 )
             else:
                 conv_final.append(conv_strat[i])
@@ -86,20 +111,20 @@ def prepare_params(
             elif not is_pq(p):
                 fc_final.append("dense")
                 out.append(
-                    {"weight": jnp.asarray(p["weight"], dtype),
-                     "bias": jnp.asarray(p["bias"], jnp.float32)}
+                    {"weight": np.asarray(p["weight"], _np_dtype(dtype)),
+                     "bias": np.asarray(p["bias"], np.float32)}
                 )
             elif fc_strat[i] == "decode":
                 cin = h * w * c
-                weight = lut_ops.decode_fc_weight(
-                    jnp.asarray(p["codebooks"]),
-                    jnp.asarray(p["assignments"]),
+                weight = _decode_fc_weight_np(
+                    np.asarray(p["codebooks"]),
+                    np.asarray(p["assignments"]),
                     cin,
                 )
                 fc_final.append("dense")
                 out.append(
-                    {"weight": weight.astype(dtype),
-                     "bias": jnp.asarray(p["bias"], jnp.float32)}
+                    {"weight": weight.astype(_np_dtype(dtype)),
+                     "bias": np.asarray(p["bias"], np.float32)}
                 )
             else:
                 fc_final.append(fc_strat[i])
@@ -112,9 +137,8 @@ def prepare_params(
 
 
 def _cast_pq(p: dict, dtype) -> dict:
-    q = {
-        "codebooks": jnp.asarray(p["codebooks"], dtype),
-        "assignments": jnp.asarray(np.asarray(p["assignments"])),
-        "bias": jnp.asarray(p["bias"], jnp.float32),
+    return {
+        "codebooks": np.asarray(p["codebooks"], _np_dtype(dtype)),
+        "assignments": np.asarray(p["assignments"]),
+        "bias": np.asarray(p["bias"], np.float32),
     }
-    return q

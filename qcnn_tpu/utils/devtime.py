@@ -49,7 +49,8 @@ def _make_looped(fn: Callable):
                 jnp.sum(leaf).astype(jnp.float32)
                 for leaf in jax.tree_util.tree_leaves(y)
             )
-            return (x + jnp.sin(acc + ramp) * jnp.float32(1e-30), acc)
+            pert = (jnp.sin(acc + ramp) * jnp.float32(1e-30)).astype(x.dtype)
+            return (x + pert, acc)
 
         _, acc = lax.fori_loop(0, iters, body, (x, jnp.float32(0.0)))
         return acc.reshape(1)

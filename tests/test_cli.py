@@ -1,0 +1,102 @@
+"""CLI surface tests (subcommand plumbing on the CPU mesh)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from qcnn_tpu.cli import main
+from qcnn_tpu.formats.checkpoint import load_checkpoint, save_checkpoint
+
+
+def test_convert_roundtrip(tmp_path, alexnet_bin_dir):
+    src = os.path.join(alexnet_bin_dir, "bvlc_alexnet_aCaF.asmtLst.01.cbn")
+    if not os.path.exists(src):
+        pytest.skip("reference assignments not available")
+    mid = str(tmp_path / "a.bin")
+    back = str(tmp_path / "a.cbn")
+    assert main(["convert", src, mid]) == 0
+    assert main(["convert", mid, back]) == 0
+    from qcnn_tpu.formats import read_asmt
+
+    np.testing.assert_array_equal(read_asmt(src), read_asmt(back))
+
+
+def test_import_reference_to_checkpoint(tmp_path, reference_dir):
+    ckpt = str(tmp_path / "alexnet_ckpt")
+    rc = main([
+        "import", ckpt,
+        "--model", "alexnet",
+        "--weights-dir", os.path.join(reference_dir, "AlexNet", "Bin.Files"),
+        "--prefix", "bvlc_alexnet_aCaF",
+        "--synthesize-missing",
+    ])
+    assert rc == 0
+    spec, params = load_checkpoint(ckpt)
+    assert spec.name == "AlexNet"
+    n_pq = sum(1 for p in params if p is not None and "codebooks" in p)
+    assert n_pq == 8  # 5 conv + 3 fc
+
+
+def test_quantize_checkpoint(tmp_path):
+    from qcnn_tpu.core import ConvSpec, FCSpec, ModelSpec, ReLUSpec, SoftmaxSpec
+    from qcnn_tpu.models import synth
+
+    spec = ModelSpec(
+        name="t", in_height=8, in_width=8, in_channels=4,
+        layers=(
+            ConvSpec(kernel=3, out_channels=16, pad=1),
+            ReLUSpec(),
+            FCSpec(32),
+            SoftmaxSpec(),
+        ),
+    )
+    dense = synth.random_dense_params(spec, seed=2)
+    src = str(tmp_path / "dense")
+    dst = str(tmp_path / "pq")
+    save_checkpoint(src, spec, dense)
+    rc = main([
+        "quantize", src, dst,
+        "--conv-subvec-len", "2", "--conv-codewords", "32",
+        "--fc-subvec-len", "2", "--fc-codewords", "32",
+    ])
+    assert rc == 0
+    spec2, params2 = load_checkpoint(dst)
+    assert spec2 == spec
+    assert "codebooks" in params2[0] and "codebooks" in params2[2]
+
+    from qcnn_tpu.models import network
+    from qcnn_tpu.models.prepare import prepare_params
+
+    x = synth.random_input(spec, batch=4, seed=3)
+    # plumbing exactness: PQ forward == decoded-dense forward of the SAME
+    # quantized params
+    got = np.asarray(network.forward(params2, x, spec=spec, with_softmax=False))
+    prepared, ci, fi = prepare_params(
+        spec, params2, conv_impl="decode", fc_impl="decode",
+        dtype=np.float32,
+    )
+    dec = np.asarray(
+        network.forward(prepared, x, spec=spec, conv_impls=ci, fc_impls=fi,
+                        with_softmax=False)
+    )
+    np.testing.assert_allclose(got, dec, rtol=1e-4, atol=1e-4)
+    # approximation quality: random gaussian weights are PQ's worst case,
+    # but 32 codewords per 2-dim subvector should keep logits close
+    ref = np.asarray(network.forward(dense, x, spec=spec, with_softmax=False))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.45
+
+
+def test_classify_shipped_bmps(reference_dir, capsys):
+    bmp_dir = os.path.join(reference_dir, "Bmp.Files")
+    if not os.path.isdir(bmp_dir):
+        pytest.skip("no BMPs")
+    bmps = sorted(
+        os.path.join(bmp_dir, f) for f in os.listdir(bmp_dir)
+        if f.endswith(".BMP")
+    )[:2]
+    rc = main(["classify", *bmps, "--reference-dir", reference_dir])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ground truth" in out

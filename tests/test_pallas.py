@@ -49,3 +49,33 @@ def test_pq_fc_pallas_alexnet_fc7_shape(rng):
     ref = np.asarray(pq_fc_gather(x, params))
     got = np.asarray(pq_fc_pallas(x, params, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=3e-3)
+
+
+class TestLRNBand:
+    @pytest.mark.parametrize("c", [8, 96, 128, 256, 200])
+    def test_matches_jnp(self, rng, c):
+        from qcnn_tpu.ops.misc import lrn
+
+        x = rng.standard_normal((3, 5, 4, c)).astype(np.float32)
+        ref = np.asarray(
+            lrn(x, size=5, alpha=1e-4, beta=0.75, k=1.0, impl="jnp")
+        )
+        got = np.asarray(
+            lrn(x, size=5, alpha=1e-4, beta=0.75, k=1.0, impl="band")
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_bf16_and_other_params(self, rng):
+        import jax.numpy as jnp
+
+        from qcnn_tpu.ops.misc import lrn
+
+        x = rng.standard_normal((2, 3, 3, 96)).astype(np.float32)
+        xb = jnp.asarray(x).astype(jnp.bfloat16)
+        ref = np.asarray(
+            lrn(xb, size=5, alpha=5e-4, beta=0.75, k=2.0, impl="jnp")
+        ).astype(np.float32)
+        got = np.asarray(
+            lrn(xb, size=5, alpha=5e-4, beta=0.75, k=2.0, impl="band")
+        ).astype(np.float32)
+        np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
