@@ -60,8 +60,42 @@ def measure_per_step(spec, params, x, conv_impls, fc_impls, dtype, k1, k2):
     return time_device_fn(step, x, k1=k1, k2=k2)
 
 
+def bench_family(model: str, batch: int, dtype, k1: int, k2: int):
+    """Throughput for the ResNet/ViT PQ families (synthetic weights —
+    no pretrained checkpoints ship offline; timing is weight-agnostic)."""
+    import jax
+    import numpy as np
+
+    from qcnn_tpu.utils.devtime import time_device_fn
+
+    rng = np.random.default_rng(1)
+    if model.startswith("resnet"):
+        from qcnn_tpu.models import resnet as fam
+
+        spec = fam.RESNETS[model]()
+        pq = fam.quantize_params(spec, fam.init_dense_params(spec, seed=0))
+        prepared = jax.device_put(fam.prepare_params(spec, pq, dtype=dtype))
+        size = spec.in_size
+    else:
+        from qcnn_tpu.models import vit as fam
+
+        spec = fam.VITS[model]()
+        pq = fam.quantize_params(spec, fam.init_dense_params(spec, seed=0))
+        prepared = jax.device_put(fam.prepare_params(spec, pq, dtype=dtype))
+        size = spec.image_size
+    x = rng.standard_normal((batch, size, size, 3)).astype(np.float32)
+
+    def step(x):
+        return fam.forward(prepared, x, spec=spec, compute_dtype=dtype)
+
+    return time_device_fn(step, x, k1=k1, k2=k2), spec
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="alexnet",
+                    choices=["alexnet", "resnet50", "resnet18",
+                             "vit_b16", "vit_s16"])
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--conv-impl", default="auto")
     ap.add_argument("--fc-impl", default="auto")
@@ -78,6 +112,22 @@ def main() -> None:
     from qcnn_tpu.models.prepare import prepare_params
 
     log(f"jax {jax.__version__}, devices: {jax.devices()}")
+    dtype_arg = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.model != "alexnet":
+        per_step, spec = bench_family(
+            args.model, args.batch, dtype_arg, args.k1, args.k2
+        )
+        imgs_per_sec = args.batch / per_step
+        log(f"{args.model} batch={args.batch}: {per_step*1e3:.3f} ms/step")
+        print(json.dumps({
+            "metric": f"{args.model}_pq_images_per_sec",
+            "value": round(imgs_per_sec, 2),
+            "unit": "img/s",
+            "vs_baseline": None,
+            "batch": args.batch,
+            "device": str(jax.devices()[0].platform),
+        }))
+        return
     spec, params = load_params()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     prepared, conv_impls, fc_impls = prepare_params(

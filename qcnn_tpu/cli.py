@@ -208,6 +208,45 @@ def cmd_quantize(args) -> int:
 
 
 # ---------------------------------------------------------------------------
+# serve — continuous-batching HTTP daemon (the reference has no serving
+# story; its loop is synchronous batch-1, CaffeEva.cc:167-210)
+# ---------------------------------------------------------------------------
+
+def cmd_serve(args) -> int:
+    from qcnn_tpu.eval.harness import Classifier
+    from qcnn_tpu.serve.engine import BatchingEngine, EngineConfig
+    from qcnn_tpu.serve.http import serve as http_serve
+
+    clf = Classifier.from_reference(
+        args.model,
+        args.reference_dir,
+        class_names_path=os.path.join(
+            args.reference_dir, "Cls.Names", "class_names.txt"
+        ),
+    )
+    # reuse the classifier's already-prepared raw params for the engine
+    from qcnn_tpu.models.loader import load_reference_model  # noqa: F401
+
+    engine = BatchingEngine(
+        clf.spec,
+        clf.raw_params,
+        config=EngineConfig(max_batch=args.max_batch,
+                            max_wait_ms=args.max_wait_ms),
+    ).start()
+    log("warming up bucket programs...")
+    engine.warmup()
+    log(f"serving on http://{args.host}:{args.port}")
+    http_serve(
+        engine,
+        host=args.host,
+        port=args.port,
+        preprocessor=clf.pre,
+        class_names=clf.class_names,
+    )
+    return 0
+
+
+# ---------------------------------------------------------------------------
 # profile — per-layer device times (DispElpsTime, CaffeEva.cc:297-326)
 # ---------------------------------------------------------------------------
 
@@ -281,6 +320,15 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--fc-codewords", type=int, default=32)
     q.add_argument("--seed", type=int, default=0)
     q.set_defaults(fn=cmd_quantize)
+
+    s = sub.add_parser("serve", help="continuous-batching HTTP daemon")
+    s.add_argument("--model", default="alexnet")
+    s.add_argument("--reference-dir", default="/root/reference")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--max-batch", type=int, default=64)
+    s.add_argument("--max-wait-ms", type=float, default=2.0)
+    s.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("profile", help="per-layer device times")
     p.add_argument("--model", default="alexnet")

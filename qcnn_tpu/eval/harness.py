@@ -68,6 +68,7 @@ class Classifier:
         from qcnn_tpu.models.prepare import prepare_params
 
         self.spec = spec
+        self.raw_params = params  # pre-preparation (PQ) form
         self.pre = preprocessor
         self.class_names = class_names or []
         self.image_labels = image_labels or {}

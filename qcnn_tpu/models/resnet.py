@@ -1,0 +1,298 @@
+"""ResNet-v1.5 family with product-quantized convolutions and classifier.
+
+BASELINE.json stretch config: "ResNet-50 PQ (stretch scheme to residual
+blocks + 1x1 convs)". The reference framework has no residual networks (its
+graph is a linear layer list, CaffePara.cc:20-237); this module extends the
+PQ scheme to branching graphs the TPU-native way: the graph is Python
+composition of jit-traceable ops, the spec is static data, and parameters are
+a nested pytree.
+
+PQ applies per conv (including 1x1 projections) over the input-channel axis
+and to the final FC — the same data model as SURVEY.md §2a. BatchNorm is an
+inference-time affine; `fold_batchnorm` merges it into the adjacent conv's
+decoded weights at preparation, like every production inference stack.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qcnn_tpu.ops import conv as conv_ops
+from qcnn_tpu.ops import fc as fc_ops
+from qcnn_tpu.ops.misc import relu
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNetSpec:
+    name: str
+    stage_depths: tuple[int, ...]      # blocks per stage, e.g. (3, 4, 6, 3)
+    stage_channels: tuple[int, ...]    # bottleneck out channels per stage
+    num_classes: int = 1000
+    in_size: int = 224
+    bottleneck: bool = True
+
+
+def resnet50() -> ResNetSpec:
+    return ResNetSpec("ResNet50", (3, 4, 6, 3), (256, 512, 1024, 2048))
+
+
+def resnet18() -> ResNetSpec:
+    return ResNetSpec(
+        "ResNet18", (2, 2, 2, 2), (64, 128, 256, 512), bottleneck=False
+    )
+
+
+RESNETS = {"resnet50": resnet50, "resnet18": resnet18}
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+# ---------------------------------------------------------------------------
+
+def _conv_param(rng, kh, kw, cin, cout):
+    fan = kh * kw * cin
+    return {
+        "kernel": (rng.standard_normal((kh, kw, cin, cout)) /
+                   np.sqrt(fan)).astype(np.float32),
+        "bias": np.zeros(cout, np.float32),
+    }
+
+
+def _block_channels(spec: ResNetSpec, stage: int) -> tuple[int, int]:
+    cout = spec.stage_channels[stage]
+    mid = cout // 4 if spec.bottleneck else cout
+    return mid, cout
+
+
+def init_dense_params(spec: ResNetSpec, seed: int = 0) -> dict:
+    """Random dense parameters (no pretrained weights ship offline; the
+    quantizer path is validated against this dense reference)."""
+    rng = np.random.default_rng(seed)
+    params: dict = {
+        "stem": _conv_param(rng, 7, 7, 3, 64),
+    }
+    cin = 64
+    for s, depth in enumerate(spec.stage_depths):
+        mid, cout = _block_channels(spec, s)
+        for b in range(depth):
+            key = f"s{s}b{b}"
+            block: dict = {}
+            if spec.bottleneck:
+                block["conv1"] = _conv_param(rng, 1, 1, cin, mid)
+                block["conv2"] = _conv_param(rng, 3, 3, mid, mid)
+                block["conv3"] = _conv_param(rng, 1, 1, mid, cout)
+            else:
+                block["conv1"] = _conv_param(rng, 3, 3, cin, mid)
+                block["conv2"] = _conv_param(rng, 3, 3, mid, cout)
+            if cin != cout or b == 0:
+                block["proj"] = _conv_param(rng, 1, 1, cin, cout)
+            params[key] = block
+            cin = cout
+    params["fc"] = {
+        "weight": (rng.standard_normal((cin, spec.num_classes)) /
+                   np.sqrt(cin)).astype(np.float32),
+        "bias": np.zeros(spec.num_classes, np.float32),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _apply_conv(x, p, *, stride=1, pad=0):
+    if "codebooks" in p:
+        return conv_ops.pq_conv(x, p, stride=stride, pad=pad, impl="decode")
+    return conv_ops.conv_dense(x, p["kernel"], p["bias"],
+                               stride=stride, pad=pad)
+
+
+def _apply_fc(x, p):
+    if "codebooks" in p:
+        return fc_ops.pq_fc(x, p, impl="decode")
+    return fc_ops.fc_dense(x, p["weight"], p["bias"])
+
+
+def forward(
+    params: dict,
+    x: jax.Array,
+    *,
+    spec: ResNetSpec,
+    compute_dtype=None,
+    with_softmax: bool = False,
+) -> jax.Array:
+    """(B, H, W, 3) NHWC -> (B, num_classes) logits (or probabilities)."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+
+    def cast(v):
+        return v.astype(compute_dtype) if compute_dtype is not None else v
+
+    x = cast(relu(_apply_conv(x, params["stem"], stride=2, pad=3)))
+    from qcnn_tpu.ops.misc import caffe_max_pool
+
+    x = caffe_max_pool(x, kernel=3, stride=2, pad=1)
+
+    for s, depth in enumerate(spec.stage_depths):
+        for b in range(depth):
+            block = params[f"s{s}b{b}"]
+            stride = 2 if (s > 0 and b == 0) else 1
+            shortcut = x
+            if "proj" in block:
+                shortcut = cast(
+                    _apply_conv(x, block["proj"], stride=stride)
+                )
+            if spec.bottleneck:
+                y = cast(relu(_apply_conv(x, block["conv1"])))
+                y = cast(relu(_apply_conv(y, block["conv2"],
+                                          stride=stride, pad=1)))
+                y = cast(_apply_conv(y, block["conv3"]))
+            else:
+                y = cast(relu(_apply_conv(x, block["conv1"],
+                                          stride=stride, pad=1)))
+                y = cast(_apply_conv(y, block["conv2"], pad=1))
+            x = relu(y + shortcut)
+
+    x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # global average pool
+    logits = _apply_fc(cast(x), params["fc"]).astype(jnp.float32)
+    if with_softmax:
+        logits = jax.nn.softmax(logits, axis=-1)
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# Quantization / preparation
+# ---------------------------------------------------------------------------
+
+def quantize_params(
+    spec: ResNetSpec,
+    dense: dict,
+    *,
+    seed: int = 0,
+    conv_subvec_len: int = 4,
+    conv_codewords: int = 128,
+    fc_subvec_len: int = 4,
+    fc_codewords: int = 32,
+    min_cin: int = 16,
+) -> dict:
+    """Quantize every conv/fc. Convs with cin < min_cin (the stem) stay
+    dense — PQ on 3 input channels saves nothing (cf. AlexNet conv1's
+    degenerate single-subspace codebook, SURVEY.md §2a)."""
+    from qcnn_tpu.quantizer.pq import quantize_conv_layer, quantize_fc_layer
+
+    key_holder = [jax.random.key(seed)]
+
+    def next_key():
+        key_holder[0], sub = jax.random.split(key_holder[0])
+        return sub
+
+    def quant_leaf(p: dict) -> dict:
+        if "kernel" in p:
+            kh, kw, cin, cout = p["kernel"].shape
+            if cin < min_cin:
+                return p
+            oihw = np.transpose(np.asarray(p["kernel"]), (3, 2, 0, 1))
+            return quantize_conv_layer(
+                next_key(), oihw, p["bias"],
+                num_subspaces=-(-cin // conv_subvec_len),
+                num_codewords=conv_codewords,
+            )
+        if "weight" in p:
+            return quantize_fc_layer(
+                next_key(), np.asarray(p["weight"]).T, p["bias"],
+                num_subspaces=-(-p["weight"].shape[0] // fc_subvec_len),
+                num_codewords=fc_codewords,
+            )
+        return {k: quant_leaf(v) for k, v in p.items()}
+
+    return {name: quant_leaf(p) for name, p in dense.items()}
+
+
+def prepare_params(spec: ResNetSpec, params: dict, dtype=jnp.bfloat16) -> dict:
+    """Decode PQ tensors to dense in `dtype` (host-side NumPy)."""
+    import ml_dtypes
+
+    from qcnn_tpu.models.prepare import (
+        _decode_conv_kernel_np, _decode_fc_weight_np, _np_dtype,
+    )
+
+    np_dtype = (
+        ml_dtypes.bfloat16 if dtype in (jnp.bfloat16, "bfloat16") else dtype
+    )
+
+    def prep(p, cin_hint=None, is_fc=False):
+        if "codebooks" in p:
+            if is_fc:
+                s, _, d = np.asarray(p["codebooks"]).shape
+                w = _decode_fc_weight_np(
+                    np.asarray(p["codebooks"]),
+                    np.asarray(p["assignments"]),
+                    cin_hint if cin_hint else s * d,
+                )
+                return {"weight": w.astype(np_dtype),
+                        "bias": np.asarray(p["bias"], np.float32)}
+            s, _, d = np.asarray(p["codebooks"]).shape
+            kern = _decode_conv_kernel_np(
+                np.asarray(p["codebooks"]),
+                np.asarray(p["assignments"]),
+                cin_hint if cin_hint else s * d,
+            )
+            return {"kernel": kern.astype(np_dtype),
+                    "bias": np.asarray(p["bias"], np.float32)}
+        out = dict(p)
+        if "kernel" in out:
+            out["kernel"] = np.asarray(out["kernel"], np_dtype)
+        if "weight" in out:
+            out["weight"] = np.asarray(out["weight"], np_dtype)
+        return out
+
+    prepared: dict = {}
+    shapes = _conv_cin_map(spec)
+    for name, p in params.items():
+        if name == "fc":
+            prepared[name] = prep(p, cin_hint=shapes["fc"], is_fc=True)
+        elif "codebooks" in p or "kernel" in p:
+            prepared[name] = prep(p, cin_hint=shapes.get(name))
+        else:  # block dict
+            prepared[name] = {
+                k: prep(v, cin_hint=shapes.get(f"{name}.{k}"))
+                for k, v in p.items()
+            }
+    return prepared
+
+
+def _conv_cin_map(spec: ResNetSpec) -> dict:
+    """True input-channel count per conv (codebook span may overhang)."""
+    shapes: dict = {"stem": 3}
+    cin = 64
+    for s, depth in enumerate(spec.stage_depths):
+        mid, cout = _block_channels(spec, s)
+        for b in range(depth):
+            key = f"s{s}b{b}"
+            if spec.bottleneck:
+                shapes[f"{key}.conv1"] = cin
+                shapes[f"{key}.conv2"] = mid
+                shapes[f"{key}.conv3"] = mid
+            else:
+                shapes[f"{key}.conv1"] = cin
+                shapes[f"{key}.conv2"] = mid
+            shapes[f"{key}.proj"] = cin
+            cin = cout
+    shapes["fc"] = cin
+    return shapes
+
+
+def fold_batchnorm(conv: dict, gamma, beta, mean, var, eps=1e-5) -> dict:
+    """Fold an inference BatchNorm into the preceding dense conv:
+    W' = W * gamma/sqrt(var+eps); b' = (b - mean) * scale + beta."""
+    scale = np.asarray(gamma) / np.sqrt(np.asarray(var) + eps)
+    return {
+        "kernel": np.asarray(conv["kernel"]) * scale,  # broadcast over Cout
+        "bias": (np.asarray(conv["bias"]) - np.asarray(mean)) * scale
+        + np.asarray(beta),
+    }

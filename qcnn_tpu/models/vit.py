@@ -1,0 +1,263 @@
+"""Vision Transformer with product-quantized projection GEMMs.
+
+BASELINE.json stretch config: "ViT-B/16 PQ (stretch: PQ on attention/MLP
+projection GEMMs, LUT kernels for transformer FC)". Every weight matrix —
+qkv/out projections, the two MLP matrices, patch embedding, and the head —
+is a (Cin, Cout) GEMM carrying the same PQ data model as the FC layers in
+SURVEY.md §2a, so the whole op library (decode / onehot / gather / pallas)
+applies unchanged.
+
+Attention itself (QK^T, softmax, AV) has no weights and runs as plain
+jnp/XLA — flash-style tiling is unnecessary at 197 tokens.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qcnn_tpu.ops import fc as fc_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTSpec:
+    name: str
+    patch: int = 16
+    image_size: int = 224
+    dim: int = 768
+    depth: int = 12
+    heads: int = 12
+    mlp_ratio: int = 4
+    num_classes: int = 1000
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # + [CLS]
+
+
+def vit_b16() -> ViTSpec:
+    return ViTSpec("ViT-B/16")
+
+
+def vit_s16() -> ViTSpec:
+    return ViTSpec("ViT-S/16", dim=384, depth=12, heads=6)
+
+
+def vit_tiny_test() -> ViTSpec:
+    """Miniature config for CPU tests."""
+    return ViTSpec("ViT-test", patch=8, image_size=32, dim=64, depth=2,
+                   heads=4, num_classes=10)
+
+
+VITS = {"vit_b16": vit_b16, "vit_s16": vit_s16}
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+def _gemm(rng, cin, cout):
+    return {
+        "weight": (rng.standard_normal((cin, cout)) /
+                   np.sqrt(cin)).astype(np.float32),
+        "bias": np.zeros(cout, np.float32),
+    }
+
+
+def _ln(dim):
+    return {"scale": np.ones(dim, np.float32),
+            "shift": np.zeros(dim, np.float32)}
+
+
+def init_dense_params(spec: ViTSpec, seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed)
+    d = spec.dim
+    params: dict = {
+        "patch_embed": _gemm(rng, spec.patch * spec.patch * 3, d),
+        "cls_token": np.zeros((1, 1, d), np.float32),
+        "pos_embed": (rng.standard_normal((1, spec.seq_len, d)) *
+                      0.02).astype(np.float32),
+        "head": _gemm(rng, d, spec.num_classes),
+        "ln_final": _ln(d),
+    }
+    for i in range(spec.depth):
+        params[f"blk{i}"] = {
+            "ln1": _ln(d),
+            "qkv": _gemm(rng, d, 3 * d),
+            "out": _gemm(rng, d, d),
+            "ln2": _ln(d),
+            "mlp1": _gemm(rng, d, spec.mlp_ratio * d),
+            "mlp2": _gemm(rng, spec.mlp_ratio * d, d),
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _layernorm(x, p, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["shift"]).astype(x.dtype)
+
+
+def _proj(x, p):
+    """(…, Cin) @ gemm -> (…, Cout), PQ or dense."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if "codebooks" in p:
+        y = fc_ops.pq_fc(x2, p, impl="decode")
+    else:
+        y = fc_ops.fc_dense(x2, p["weight"], p["bias"])
+    return y.reshape(*lead, y.shape[-1])
+
+
+def forward(
+    params: dict,
+    x: jax.Array,
+    *,
+    spec: ViTSpec,
+    compute_dtype=None,
+    with_softmax: bool = False,
+) -> jax.Array:
+    """(B, H, W, 3) NHWC -> (B, num_classes)."""
+    b, h, w, c = x.shape
+    p = spec.patch
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+
+    def cast(v):
+        return v.astype(compute_dtype) if compute_dtype is not None else v
+
+    # patchify: (B, H/p, p, W/p, p, C) -> (B, N, p*p*C)
+    x = x.reshape(b, h // p, p, w // p, p, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, spec.num_patches, -1)
+    x = cast(_proj(x, params["patch_embed"]))
+
+    cls = jnp.broadcast_to(
+        params["cls_token"].astype(x.dtype), (b, 1, spec.dim)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"].astype(x.dtype)
+
+    nh = spec.heads
+    hd = spec.dim // nh
+    for i in range(spec.depth):
+        blk = params[f"blk{i}"]
+        # attention
+        y = _layernorm(x, blk["ln1"])
+        qkv = _proj(y, blk["qkv"])  # (B, N, 3D)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        att = jnp.einsum(
+            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) / np.sqrt(hd)
+        att = jax.nn.softmax(att, axis=-1).astype(v.dtype)
+        o = jnp.einsum(
+            "bhnm,bhmd->bhnd", att, v, preferred_element_type=jnp.float32
+        )
+        o = cast(o.transpose(0, 2, 1, 3).reshape(b, -1, spec.dim))
+        x = x + cast(_proj(o, blk["out"]))
+        # mlp
+        y = _layernorm(x, blk["ln2"])
+        y = cast(jax.nn.gelu(_proj(y, blk["mlp1"])))
+        x = x + cast(_proj(y, blk["mlp2"]))
+
+    x = _layernorm(x, params["ln_final"])
+    logits = _proj(x[:, 0], params["head"]).astype(jnp.float32)
+    if with_softmax:
+        logits = jax.nn.softmax(logits, axis=-1)
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# Quantization / preparation
+# ---------------------------------------------------------------------------
+
+def quantize_params(
+    spec: ViTSpec,
+    dense: dict,
+    *,
+    seed: int = 0,
+    subvec_len: int = 4,
+    num_codewords: int = 32,
+) -> dict:
+    """PQ every projection GEMM; LN/embeddings stay dense (tiny)."""
+    from qcnn_tpu.quantizer.pq import quantize_fc_layer
+
+    key_holder = [jax.random.key(seed)]
+
+    def next_key():
+        key_holder[0], sub = jax.random.split(key_holder[0])
+        return sub
+
+    def quant(p):
+        if isinstance(p, dict) and "weight" in p:
+            cin = p["weight"].shape[0]
+            return quantize_fc_layer(
+                next_key(), np.asarray(p["weight"]).T, p["bias"],
+                num_subspaces=-(-cin // subvec_len),
+                num_codewords=num_codewords,
+            )
+        if isinstance(p, dict):
+            return {k: quant(v) for k, v in p.items()}
+        return p
+
+    return {name: quant(p) for name, p in dense.items()}
+
+
+def prepare_params(spec: ViTSpec, params: dict, dtype=jnp.bfloat16) -> dict:
+    """Decode PQ GEMMs to dense `dtype` host-side."""
+    import ml_dtypes
+
+    from qcnn_tpu.models.prepare import _decode_fc_weight_np
+
+    np_dtype = (
+        ml_dtypes.bfloat16 if dtype in (jnp.bfloat16, "bfloat16") else dtype
+    )
+    cin_map = _gemm_cin_map(spec)
+
+    def prep(p, path):
+        if isinstance(p, dict) and "codebooks" in p:
+            w = _decode_fc_weight_np(
+                np.asarray(p["codebooks"]), np.asarray(p["assignments"]),
+                cin_map[path],
+            )
+            return {"weight": w.astype(np_dtype),
+                    "bias": np.asarray(p["bias"], np.float32)}
+        if isinstance(p, dict) and "weight" in p:
+            return {"weight": np.asarray(p["weight"], np_dtype),
+                    "bias": np.asarray(p["bias"], np.float32)}
+        if isinstance(p, dict):
+            return {k: prep(v, f"{path}.{k}") for k, v in p.items()}
+        return p
+
+    return {name: prep(p, name) for name, p in params.items()}
+
+
+def _gemm_cin_map(spec: ViTSpec) -> dict:
+    d = spec.dim
+    m = {
+        "patch_embed": spec.patch * spec.patch * 3,
+        "head": d,
+    }
+    for i in range(spec.depth):
+        m[f"blk{i}.qkv"] = d
+        m[f"blk{i}.out"] = d
+        m[f"blk{i}.mlp1"] = d
+        m[f"blk{i}.mlp2"] = spec.mlp_ratio * d
+    return m

@@ -13,7 +13,12 @@ import numpy as np
 def read_bmp(path: str) -> np.ndarray:
     """Decode a 24-bit BI_RGB BMP file to a (H, W, 3) float32 BGR array."""
     with open(path, "rb") as f:
-        data = f.read()
+        return decode_bmp(f.read(), name=path)
+
+
+def decode_bmp(data: bytes, name: str = "<bytes>") -> np.ndarray:
+    """Decode 24-bit BI_RGB BMP bytes to a (H, W, 3) float32 BGR array."""
+    path = name
     if data[:2] != b"BM":
         raise ValueError(f"{path}: not a BMP file")
     (pixel_offset,) = struct.unpack_from("<I", data, 10)

@@ -1,0 +1,192 @@
+"""Continuous-batching inference engine.
+
+The reference processes one image per iteration in a synchronous loop
+(CaffeEva.cc:167-210, kDataCntInBatch=1). The TPU-native serving shape is a
+daemon that coalesces concurrent requests into device-sized batches:
+
+- requests enqueue (image, Future) pairs from any thread;
+- one dispatcher thread drains the queue, waiting at most `max_wait_ms` to
+  fill up to `max_batch`;
+- batches are padded UP to a fixed bucket ladder (1, 8, 32, ..., max_batch)
+  so only len(buckets) programs are ever compiled — XLA recompiles per shape,
+  and on the remote-TPU tunnel each compile costs tens of seconds;
+- on a multi-device mesh the batch axis is sharded over `data` (see
+  qcnn_tpu.parallel); a single-chip engine runs the plain jitted forward.
+
+This is the single-host core. Multi-host continuous batching layers a
+front-end router over per-host engines; the collective path is exercised by
+parallel.make_sharded_forward and __graft_entry__.dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    max_batch: int = 64
+    max_wait_ms: float = 2.0
+    buckets: Optional[tuple[int, ...]] = None  # default: 1,8,32,...,max_batch
+    with_softmax: bool = True
+
+    def bucket_ladder(self) -> tuple[int, ...]:
+        if self.buckets:
+            return tuple(sorted(self.buckets))
+        ladder = [1]
+        b = 8
+        while b < self.max_batch:
+            ladder.append(b)
+            b *= 4
+        ladder.append(self.max_batch)
+        return tuple(sorted(set(ladder)))
+
+
+class BatchingEngine:
+    """Coalesces classify requests into bucketed device batches."""
+
+    def __init__(
+        self,
+        spec,
+        params: Sequence[Optional[dict]],
+        *,
+        config: EngineConfig = EngineConfig(),
+        mesh=None,
+        compute_dtype=None,
+    ) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from qcnn_tpu.models import make_forward_fn
+        from qcnn_tpu.models.prepare import prepare_params
+
+        self.spec = spec
+        self.config = config
+        self._buckets = config.bucket_ladder()
+        if compute_dtype is None:
+            compute_dtype = (
+                jnp.bfloat16 if jax.default_backend() == "tpu"
+                else jnp.float32
+            )
+        prepared, conv_impls, fc_impls = prepare_params(
+            spec, params, dtype=compute_dtype
+        )
+        if mesh is not None:
+            from qcnn_tpu.parallel import shard_params
+            from qcnn_tpu.parallel.sharding import make_sharded_forward
+
+            self.params = shard_params(spec, prepared, mesh)
+            self._fwd = make_sharded_forward(
+                spec, mesh, with_softmax=config.with_softmax
+            )
+        else:
+            self.params = jax.device_put(prepared)
+            self._fwd = make_forward_fn(
+                spec,
+                conv_impls=conv_impls,
+                fc_impls=fc_impls,
+                compute_dtype=compute_dtype,
+                with_softmax=config.with_softmax,
+            )
+        self._queue: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.stats = {"requests": 0, "batches": 0, "padded_waste": 0}
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "BatchingEngine":
+        self._thread = threading.Thread(
+            target=self._dispatch_loop, name="qcnn-dispatch", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # -- client API --------------------------------------------------------
+
+    def submit(self, image_nhwc: np.ndarray) -> Future:
+        """Enqueue one (H, W, C) image; resolves to a (num_classes,) probs
+        vector."""
+        if image_nhwc.ndim != 3:
+            raise ValueError(f"expected HWC image, got {image_nhwc.shape}")
+        fut: Future = Future()
+        self._queue.put((np.asarray(image_nhwc, np.float32), fut))
+        return fut
+
+    def classify(self, image_nhwc: np.ndarray, timeout: float = 600.0):
+        return self.submit(image_nhwc).result(timeout=timeout)
+
+    def warmup(self) -> None:
+        """Compile every bucket program up front (one dummy run each)."""
+        import jax.numpy as jnp
+
+        h, w, c = self.spec.in_height, self.spec.in_width, self.spec.in_channels
+        for b in self._buckets:
+            x = jnp.zeros((b, h, w, c), jnp.float32)
+            np.asarray(self._fwd(self.params, x))
+
+    # -- dispatcher --------------------------------------------------------
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self._buckets:
+            if n <= b:
+                return b
+        return self._buckets[-1]
+
+    def _dispatch_loop(self) -> None:
+        import jax.numpy as jnp
+
+        cfg = self.config
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = cfg.max_wait_ms / 1e3
+            import time
+
+            t0 = time.perf_counter()
+            while len(batch) < cfg.max_batch:
+                remaining = deadline - (time.perf_counter() - t0)
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            images = np.stack([b[0] for b in batch])
+            futures = [b[1] for b in batch]
+            n = len(batch)
+            bucket = self._bucket_for(n)
+            if bucket > n:
+                pad = np.zeros((bucket - n,) + images.shape[1:], np.float32)
+                images = np.concatenate([images, pad])
+            try:
+                probs = np.asarray(self._fwd(self.params, jnp.asarray(images)))
+                for i, fut in enumerate(futures):
+                    fut.set_result(probs[i])
+            except Exception as e:  # noqa: BLE001 - propagate to callers
+                for fut in futures:
+                    if not fut.done():
+                        fut.set_exception(e)
+            self.stats["requests"] += n
+            self.stats["batches"] += 1
+            self.stats["padded_waste"] += bucket - n

@@ -1,0 +1,118 @@
+"""ResNet and ViT PQ model families: shapes, PQ==decode exactness, and
+quantization round-trips (CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qcnn_tpu.models import resnet, vit
+
+
+class TestResNet:
+    @pytest.fixture(scope="class")
+    def small(self):
+        # resnet18-style, 2 stages, tiny input for CPU speed
+        spec = resnet.ResNetSpec(
+            "rn-test", (1, 1), (64, 128), num_classes=12, in_size=32,
+            bottleneck=False,
+        )
+        dense = resnet.init_dense_params(spec, seed=4)
+        x = np.random.default_rng(0).standard_normal(
+            (2, 32, 32, 3)
+        ).astype(np.float32)
+        return spec, dense, x
+
+    def test_dense_forward_shapes(self, small):
+        spec, dense, x = small
+        out = np.asarray(resnet.forward(dense, x, spec=spec))
+        assert out.shape == (2, 12)
+
+    def test_bottleneck_resnet50_shapes(self):
+        spec = resnet.resnet50()
+        dense = resnet.init_dense_params(spec, seed=1)
+        x = np.zeros((1, 224, 224, 3), np.float32)
+        out = np.asarray(resnet.forward(dense, x, spec=spec))
+        assert out.shape == (1, 1000)
+
+    def test_pq_equals_prepared_decode(self, small):
+        spec, dense, x = small
+        pq = resnet.quantize_params(
+            spec, dense, conv_codewords=16, fc_codewords=16
+        )
+        direct = np.asarray(resnet.forward(pq, x, spec=spec))
+        prepared = resnet.prepare_params(spec, pq, dtype=jnp.float32)
+        prep = np.asarray(resnet.forward(prepared, x, spec=spec))
+        np.testing.assert_allclose(direct, prep, rtol=1e-4, atol=1e-4)
+
+    def test_quantization_approximates_dense(self, small):
+        spec, dense, x = small
+        pq = resnet.quantize_params(
+            spec, dense, conv_subvec_len=2, conv_codewords=64,
+            fc_subvec_len=2, fc_codewords=64,
+        )
+        ref = np.asarray(resnet.forward(dense, x, spec=spec))
+        got = np.asarray(resnet.forward(pq, x, spec=spec))
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.6  # residual nets compound error; bounded + runs
+
+    def test_fold_batchnorm(self):
+        rng = np.random.default_rng(2)
+        conv = {
+            "kernel": rng.standard_normal((3, 3, 4, 8)).astype(np.float32),
+            "bias": rng.standard_normal(8).astype(np.float32),
+        }
+        gamma = rng.standard_normal(8).astype(np.float32)
+        beta = rng.standard_normal(8).astype(np.float32)
+        mean = rng.standard_normal(8).astype(np.float32)
+        var = np.abs(rng.standard_normal(8)).astype(np.float32) + 0.5
+        folded = resnet.fold_batchnorm(conv, gamma, beta, mean, var)
+        x = rng.standard_normal((1, 6, 6, 4)).astype(np.float32)
+        from qcnn_tpu.ops.conv import conv_dense
+
+        raw = np.asarray(conv_dense(x, conv["kernel"], conv["bias"],
+                                    stride=1, pad=1))
+        want = (raw - mean) * (gamma / np.sqrt(var + 1e-5)) + beta
+        got = np.asarray(conv_dense(x, folded["kernel"], folded["bias"],
+                                    stride=1, pad=1))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestViT:
+    @pytest.fixture(scope="class")
+    def tiny(self):
+        spec = vit.vit_tiny_test()
+        dense = vit.init_dense_params(spec, seed=5)
+        x = np.random.default_rng(1).standard_normal(
+            (2, 32, 32, 3)
+        ).astype(np.float32)
+        return spec, dense, x
+
+    def test_dense_forward_shapes(self, tiny):
+        spec, dense, x = tiny
+        out = np.asarray(vit.forward(dense, x, spec=spec))
+        assert out.shape == (2, 10)
+
+    def test_pq_equals_prepared_decode(self, tiny):
+        spec, dense, x = tiny
+        pq = vit.quantize_params(spec, dense, num_codewords=16)
+        direct = np.asarray(vit.forward(pq, x, spec=spec))
+        prepared = vit.prepare_params(spec, pq, dtype=jnp.float32)
+        prep = np.asarray(vit.forward(prepared, x, spec=spec))
+        np.testing.assert_allclose(direct, prep, rtol=1e-4, atol=1e-4)
+
+    def test_quantization_approximates_dense(self, tiny):
+        spec, dense, x = tiny
+        pq = vit.quantize_params(spec, dense, subvec_len=2, num_codewords=64)
+        ref = np.asarray(vit.forward(dense, x, spec=spec))
+        got = np.asarray(vit.forward(pq, x, spec=spec))
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.6
+
+    def test_bf16_compute_path(self, tiny):
+        spec, dense, x = tiny
+        out = np.asarray(
+            vit.forward(dense, x, spec=spec, compute_dtype=jnp.bfloat16)
+        )
+        assert out.dtype == np.float32
+        ref = np.asarray(vit.forward(dense, x, spec=spec))
+        assert np.argmax(out, -1).tolist() == np.argmax(ref, -1).tolist()

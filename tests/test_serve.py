@@ -1,0 +1,115 @@
+"""Serving: continuous-batching engine + HTTP round-trip (CPU)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from qcnn_tpu.models import synth
+from qcnn_tpu.serve.engine import BatchingEngine, EngineConfig
+from qcnn_tpu.serve.http import serve as http_serve
+
+
+@pytest.fixture(scope="module")
+def tiny_spec():
+    from qcnn_tpu.core import (
+        ConvSpec, FCSpec, ModelSpec, PoolSpec, ReLUSpec, SoftmaxSpec,
+    )
+
+    return ModelSpec(
+        name="tiny", in_height=11, in_width=11, in_channels=4,
+        layers=(
+            ConvSpec(kernel=3, out_channels=16, pad=1, stride=2),
+            ReLUSpec(),
+            PoolSpec(kernel=2, stride=2),
+            FCSpec(10),
+            SoftmaxSpec(),
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_spec):
+    params = synth.random_pq_params(tiny_spec, seed=1)
+    eng = BatchingEngine(
+        tiny_spec, params,
+        config=EngineConfig(max_batch=8, max_wait_ms=5.0),
+    ).start()
+    yield eng
+    eng.stop()
+
+
+def test_single_request(engine, tiny_spec, rng):
+    img = rng.standard_normal((11, 11, 4)).astype(np.float32)
+    probs = engine.classify(img, timeout=60)
+    assert probs.shape == (10,)
+    np.testing.assert_allclose(probs.sum(), 1.0, rtol=1e-3)
+
+
+def test_concurrent_requests_batch(engine, rng):
+    imgs = [
+        rng.standard_normal((11, 11, 4)).astype(np.float32) for _ in range(20)
+    ]
+    futs = [engine.submit(im) for im in imgs]
+    results = [f.result(timeout=60) for f in futs]
+    assert all(r.shape == (10,) for r in results)
+    # batching actually coalesced: fewer batches than requests
+    assert engine.stats["batches"] < engine.stats["requests"]
+
+
+def test_matches_direct_forward(engine, tiny_spec, rng):
+    from qcnn_tpu.models import network
+
+    img = rng.standard_normal((11, 11, 4)).astype(np.float32)
+    got = engine.classify(img, timeout=60)
+    params = synth.random_pq_params(tiny_spec, seed=1)
+    want = np.asarray(
+        network.forward(params, img[None], spec=tiny_spec)
+    )[0]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_http_roundtrip(engine):
+    server = http_serve(engine, host="127.0.0.1", port=0, block=False)
+    port = server.server_address[1]
+    try:
+        # healthz
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert health["ok"] is True
+
+        # classify via raw tensor
+        img = np.random.default_rng(5).standard_normal(
+            (11, 11, 4)
+        ).astype(np.float32)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/classify",
+            data=img.tobytes(),
+            headers={"X-Shape": "11,11,4"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert len(out["class_ids"]) == 5
+        assert out["probs"][0] >= out["probs"][-1]
+
+        # bad payload -> 400
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/classify",
+            data=b"garbage",
+            headers={"X-Shape": "3,3"},
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = True
+            assert e.code == 400
+        assert raised
+    finally:
+        server.shutdown()
