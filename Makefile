@@ -1,0 +1,26 @@
+# Native components (also auto-built on first import; this target is for
+# explicit/offline builds).
+CXX ?= g++
+CXXFLAGS := -O3 -std=c++17 -shared -fPIC
+
+NATIVE := qcnn_tpu/formats/native/libcbncodec.so \
+          qcnn_tpu/preproc/native/libimgproc.so
+
+all: $(NATIVE)
+
+qcnn_tpu/formats/native/libcbncodec.so: qcnn_tpu/formats/native/cbncodec.cc
+	$(CXX) $(CXXFLAGS) -o $@ $<
+
+qcnn_tpu/preproc/native/libimgproc.so: qcnn_tpu/preproc/native/imgproc.cc
+	$(CXX) $(CXXFLAGS) -pthread -o $@ $<
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+clean:
+	rm -f $(NATIVE)
+
+.PHONY: all test bench clean

@@ -1,0 +1,106 @@
+"""ctypes bindings for the native threaded preprocessing pipeline
+(imgproc.cc). Compiled on first use with g++ and cached next to the source;
+falls back to the NumPy pipeline (qcnn_tpu.preproc.pipeline) when no
+compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "imgproc.cc")
+_SO = os.path.join(_DIR, "libimgproc.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> None:
+    subprocess.run(
+        ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+         "-o", _SO, _SRC],
+        check=True, capture_output=True,
+    )
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        try:
+            if not os.path.exists(_SO) or (
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+            ):
+                _build()
+            lib = ctypes.CDLL(_SO)
+            lib.qcnn_preproc_batch.restype = ctypes.c_int
+            lib.qcnn_preproc_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p),   # buffers
+                ctypes.POINTER(ctypes.c_int64),    # lengths
+                ctypes.c_int,                      # n
+                ctypes.c_int, ctypes.c_int,        # full_h, full_w
+                ctypes.c_int, ctypes.c_int,        # crop_h, crop_w
+                ctypes.c_int,                      # relaxed
+                ctypes.POINTER(ctypes.c_float),    # mean
+                ctypes.c_int, ctypes.c_int,        # mean_h, mean_w
+                ctypes.c_int,                      # mean_full
+                ctypes.POINTER(ctypes.c_float),    # out
+                ctypes.c_int,                      # threads
+            ]
+            _lib = lib
+        except (OSError, subprocess.CalledProcessError):
+            _build_failed = True
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def preproc_batch(
+    bmp_blobs: Sequence[bytes],
+    *,
+    full_h: int,
+    full_w: int,
+    crop_h: int,
+    crop_w: int,
+    relaxed: bool,
+    mean_hwc: np.ndarray,
+    mean_full: bool,
+    threads: int = 0,
+) -> tuple[np.ndarray, int]:
+    """Decode+preprocess BMP byte blobs -> ((N, crop_h, crop_w, 3) float32
+    BGR, failure_count). Failed slots are zeroed."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native imgproc unavailable (no g++?)")
+    n = len(bmp_blobs)
+    mean = np.ascontiguousarray(mean_hwc, np.float32)
+    out = np.zeros((n, crop_h, crop_w, 3), np.float32)
+    buf_ptrs = (ctypes.c_void_p * n)()
+    lengths = (ctypes.c_int64 * n)()
+    # keep byte objects alive for the duration of the call
+    keepalive = [np.frombuffer(b, np.uint8) for b in bmp_blobs]
+    for i, arr in enumerate(keepalive):
+        buf_ptrs[i] = arr.ctypes.data
+        lengths[i] = arr.size
+    failures = lib.qcnn_preproc_batch(
+        buf_ptrs, lengths, n,
+        full_h, full_w, crop_h, crop_w,
+        1 if relaxed else 0,
+        mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mean.shape[0], mean.shape[1],
+        1 if mean_full else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        threads,
+    )
+    return out, failures

@@ -141,5 +141,29 @@ class Preprocessor:
         (the reference's BmpImgIO::Load, BmpImgIO.cc:40-71)."""
         return self(read_bmp(bmp_path))[None]
 
-    def load_batch(self, bmp_paths) -> np.ndarray:
+    def load_batch(self, bmp_paths, native: str = "auto") -> np.ndarray:
+        """Batch BMP -> (N, crop_h, crop_w, 3). native='auto' uses the
+        threaded C++ pipeline (preproc/native/imgproc.cc) when it compiles,
+        'never' forces the NumPy path, 'require' errors without it."""
+        if native != "never":
+            from qcnn_tpu.preproc import native as native_mod
+
+            if native_mod.available():
+                blobs = [open(p, "rb").read() for p in bmp_paths]
+                out, failures = native_mod.preproc_batch(
+                    blobs,
+                    full_h=self.full_h, full_w=self.full_w,
+                    crop_h=self.crop_h, crop_w=self.crop_w,
+                    relaxed=self.resz_type is ReszType.RELAXED,
+                    mean_hwc=self.mean_image,
+                    mean_full=self.mean_type is MeanType.FULL,
+                )
+                if failures:
+                    raise ValueError(
+                        f"{failures} of {len(bmp_paths)} images failed "
+                        "native decode"
+                    )
+                return out
+            if native == "require":
+                raise RuntimeError("native imgproc unavailable")
         return np.stack([self(read_bmp(p)) for p in bmp_paths])
