@@ -51,13 +51,16 @@ def measure_per_step(spec, params, x, conv_impls, fc_impls, dtype, k1, k2):
     from qcnn_tpu.models import network
     from qcnn_tpu.utils.devtime import time_device_fn
 
-    def step(x):
+    # params ride as runtime arguments: closing over them would embed them
+    # as program constants (a VGG16-sized constant blob overflows the
+    # remote-compile request with HTTP 413)
+    def step(x, params):
         return network.forward(
             params, x, spec=spec,
             conv_impls=conv_impls, fc_impls=fc_impls, compute_dtype=dtype,
         )
 
-    return time_device_fn(step, x, k1=k1, k2=k2)
+    return time_device_fn(step, x, params, k1=k1, k2=k2)
 
 
 def bench_family(model: str, batch: int, dtype, k1: int, k2: int):
@@ -69,6 +72,29 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int):
     from qcnn_tpu.utils.devtime import time_device_fn
 
     rng = np.random.default_rng(1)
+    if model in ("vgg16", "vgg_cnn_s", "caffenet"):
+        import jax.numpy as jnp
+
+        from qcnn_tpu.models import network, synth, zoo
+        from qcnn_tpu.models.prepare import prepare_params
+
+        spec = zoo.get_model(model)
+        pq = synth.random_pq_params(spec, seed=0)
+        prepared, ci, fi = prepare_params(
+            spec, pq, batch_hint=batch, dtype=dtype
+        )
+        prepared = jax.device_put(prepared)
+        x = rng.standard_normal(
+            (batch, spec.in_height, spec.in_width, spec.in_channels)
+        ).astype(np.float32)
+
+        def step(x, params):
+            return network.forward(
+                params, x, spec=spec, conv_impls=ci, fc_impls=fi,
+                compute_dtype=dtype,
+            )
+
+        return time_device_fn(step, x, prepared, k1=k1, k2=k2), spec
     if model.startswith("resnet"):
         from qcnn_tpu.models import resnet as fam
 
@@ -85,17 +111,18 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int):
         size = spec.image_size
     x = rng.standard_normal((batch, size, size, 3)).astype(np.float32)
 
-    def step(x):
-        return fam.forward(prepared, x, spec=spec, compute_dtype=dtype)
+    def step(x, params):
+        return fam.forward(params, x, spec=spec, compute_dtype=dtype)
 
-    return time_device_fn(step, x, k1=k1, k2=k2), spec
+    return time_device_fn(step, x, prepared, k1=k1, k2=k2), spec
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="alexnet",
                     choices=["alexnet", "resnet50", "resnet18",
-                             "vit_b16", "vit_s16"])
+                             "vit_b16", "vit_s16", "vgg16", "vgg_cnn_s",
+                             "caffenet"])
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--conv-impl", default="auto")
     ap.add_argument("--fc-impl", default="auto")

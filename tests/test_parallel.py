@@ -108,3 +108,40 @@ class TestShardedForward:
         assert m.shape == {"data": 2, "model": 4}
         m2 = make_mesh()
         assert m2.shape["data"] == len(jax.devices())
+
+
+class TestShardMapOps:
+    """Explicit-collective tensor-parallel PQ FC (shard_map + psum)."""
+
+    def _data(self, rng, b=8, cin=64, cout=32, s=16, k=8, d=4):
+        x = rng.standard_normal((b, cin)).astype(np.float32)
+        params = {
+            "codebooks": rng.standard_normal((s, k, d)).astype(np.float32),
+            "assignments": rng.integers(0, k, size=(cout, s), dtype=np.uint8),
+            "bias": rng.standard_normal(cout).astype(np.float32),
+        }
+        return x, params
+
+    def test_row_parallel_matches_single_device(self, rng):
+        from qcnn_tpu.ops.fc import pq_fc
+        from qcnn_tpu.parallel.mesh import make_mesh
+        from qcnn_tpu.parallel.shardmap_ops import row_parallel_pq_fc
+
+        x, p = self._data(rng)
+        mesh = make_mesh(jax.devices(), dp=2, tp=4)
+        fn = jax.jit(row_parallel_pq_fc(mesh, impl="gather"))
+        got = np.asarray(fn(x, p["codebooks"], p["assignments"], p["bias"]))
+        want = np.asarray(pq_fc(x, p, impl="gather"))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    def test_column_parallel_matches_single_device(self, rng):
+        from qcnn_tpu.ops.fc import pq_fc
+        from qcnn_tpu.parallel.mesh import make_mesh
+        from qcnn_tpu.parallel.shardmap_ops import column_parallel_pq_fc
+
+        x, p = self._data(rng)
+        mesh = make_mesh(jax.devices(), dp=2, tp=4)
+        fn = jax.jit(column_parallel_pq_fc(mesh, impl="gather"))
+        got = np.asarray(fn(x, p["codebooks"], p["assignments"], p["bias"]))
+        want = np.asarray(pq_fc(x, p, impl="gather"))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
