@@ -1,0 +1,83 @@
+"""Quantizer quality on REAL weight distributions.
+
+No FP32 checkpoints ship offline, but the reference's decoded PQ weights
+W̃ = decode(codebooks, assignments) are real (trained) weight statistics.
+Re-quantizing W̃ with our JAX k-means at the same (S, K, D) geometry answers:
+does our quantizer find codebooks as good as the reference's MATLAB ones?
+
+Metric: relative reconstruction error ||Q(W̃) - W̃|| / ||W̃||. The reference's
+own codebooks reconstruct W̃ exactly (error 0) by construction, so the
+interesting comparison is against theory: a fresh quantization of an
+already-K-clustered matrix should reach near-zero error if k-means recovers
+the clusters.
+
+Usage: python benchmarks/quantizer_quality.py [--layer 19]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# 0-based layer index -> (name, kind); files are numbered index+1
+# (SURVEY.md §2a: fc7 = file 19, fc8 = file 22)
+LAYERS = {
+    8: ("conv3", "conv"),
+    18: ("fc7", "fc"),
+    21: ("fc8", "fc"),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, nargs="+", default=[18, 21])
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+
+    from qcnn_tpu.formats import read_asmt, read_bin
+    from qcnn_tpu.models.prepare import _decode_fc_weight_np
+    from qcnn_tpu.quantizer.pq import quantize_plain
+    from qcnn_tpu.ops.lut import decode_fc_weight
+
+    bin_dir = "/root/reference/AlexNet/Bin.Files"
+    for layer in args.layers:
+        name, kind = LAYERS[layer]
+        ctrd = read_bin(
+            os.path.join(bin_dir, f"bvlc_alexnet_aCaF.ctrdLst.{layer+1:02d}.bin"),
+            np.float32,
+        )
+        asmt = read_asmt(
+            os.path.join(bin_dir, f"bvlc_alexnet_aCaF.asmtLst.{layer+1:02d}.cbn")
+        )
+        s, k, d = ctrd.shape
+        if kind != "fc":
+            print(f"{name}: conv re-quantization not wired here", flush=True)
+            continue
+        w = _decode_fc_weight_np(ctrd, asmt, s * d).T  # (Cout, Cin)
+        t0 = time.perf_counter()
+        res = quantize_plain(
+            jax.random.key(0), w, num_subspaces=s, num_codewords=k,
+            iters=args.iters,
+        )
+        dt = time.perf_counter() - t0
+        w_hat = np.asarray(
+            decode_fc_weight(res.codebooks, res.assignments, s * d)
+        ).T
+        rel = np.linalg.norm(w_hat - w) / np.linalg.norm(w)
+        print(
+            f"{name}: (S,K,D)=({s},{k},{d}) shape={w.shape} "
+            f"re-quantize rel err={rel:.4f} in {dt:.1f}s",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
