@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import argparse
 import glob
-import json
 import os
 import sys
 
@@ -111,15 +110,17 @@ def cmd_eval(args) -> int:
     if not bmps:
         log("no BMP files found either — nothing to evaluate")
         return 1
-    probs, labels = [], []
-    for p in bmps:
-        x = clf.pre.load(p)
-        pb = np.asarray(clf._fwd(clf.params, x))[0]
-        stem = os.path.splitext(os.path.basename(p))[0]
-        if stem in clf.image_labels:
-            probs.append(pb)
-            labels.append(clf.image_labels[stem])
-    acc = accuracy_at_k(np.stack(probs), np.asarray(labels))
+    labeled = [
+        p for p in bmps
+        if os.path.splitext(os.path.basename(p))[0] in clf.image_labels
+    ]
+    batch = clf.pre.load_batch(labeled)  # threaded native pipeline
+    probs = np.asarray(clf._fwd(clf.params, batch))
+    labels = [
+        clf.image_labels[os.path.splitext(os.path.basename(p))[0]]
+        for p in labeled
+    ]
+    acc = accuracy_at_k(probs, np.asarray(labels))
     for k, v in acc.items():
         print(f"ACCURACY@{k}: {v:.4f}  ({len(labels)} images)")
     return 0
@@ -156,6 +157,18 @@ def cmd_import(args) -> int:
             f"{res.synthesized_layers}")
     save_checkpoint(args.checkpoint, spec, res.params)
     log(f"wrote checkpoint {args.checkpoint}")
+    return 0
+
+
+def cmd_export(args) -> int:
+    from qcnn_tpu.formats.checkpoint import load_checkpoint
+    from qcnn_tpu.models.loader import save_reference_model
+
+    spec, params = load_checkpoint(args.checkpoint)
+    save_reference_model(
+        spec, params, args.weights_dir, args.prefix, encoding=args.encoding
+    )
+    log(f"exported {args.checkpoint} -> {args.weights_dir}/{args.prefix}.*")
     return 0
 
 
@@ -272,9 +285,27 @@ def cmd_profile(args) -> int:
         conv_impl=args.conv_impl, fc_impl=args.fc_impl, dtype=dtype,
     )
     x = synth.random_input(spec, args.batch, seed=1)
-    profs = profile_layers(
-        spec, prepared, x, conv_impls=ci, fc_impls=fi, compute_dtype=dtype
-    )
+    if args.trace:
+        # jax.profiler trace alongside the table (viewable in TensorBoard /
+        # xprof); may be unsupported on some remote-device transports.
+        import contextlib
+
+        import jax
+
+        try:
+            ctx = jax.profiler.trace(args.trace)
+        except Exception as e:  # noqa: BLE001
+            log(f"[WARN] profiler trace unavailable: {e}")
+            ctx = contextlib.nullcontext()
+        with ctx:
+            profs = profile_layers(
+                spec, prepared, x, conv_impls=ci, fc_impls=fi,
+                compute_dtype=dtype,
+            )
+    else:
+        profs = profile_layers(
+            spec, prepared, x, conv_impls=ci, fc_impls=fi, compute_dtype=dtype
+        )
     print(format_table(profs))
     return 0
 
@@ -311,6 +342,13 @@ def build_parser() -> argparse.ArgumentParser:
     im.add_argument("--synthesize-missing", action="store_true")
     im.set_defaults(fn=cmd_import)
 
+    ex = sub.add_parser("export", help="native checkpoint -> reference files")
+    ex.add_argument("checkpoint")
+    ex.add_argument("weights_dir")
+    ex.add_argument("--prefix", default="exported")
+    ex.add_argument("--encoding", default="cbn", choices=["cbn", "bin"])
+    ex.set_defaults(fn=cmd_export)
+
     q = sub.add_parser("quantize", help="FP32 checkpoint -> PQ checkpoint")
     q.add_argument("checkpoint")
     q.add_argument("out")
@@ -338,6 +376,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     p.add_argument("--conv-impl", default="auto")
     p.add_argument("--fc-impl", default="auto")
+    p.add_argument("--trace", default=None,
+                   help="directory for a jax.profiler trace")
     p.set_defaults(fn=cmd_profile)
     return ap
 

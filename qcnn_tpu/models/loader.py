@@ -122,6 +122,49 @@ def load_alexnet_reference(
     )
 
 
+def save_reference_model(
+    spec: ModelSpec,
+    params,
+    weights_dir: str,
+    prefix: str,
+    *,
+    encoding: str = "cbn",
+) -> None:
+    """Write params back out in the reference's loose-file layout — the
+    inverse of load_reference_model, enabling bit-exact round-trip tests and
+    interop with the original C++ binary (file naming per
+    CaffePara::LoadLayerPara, src/CaffePara.cc:239-306)."""
+    from qcnn_tpu.formats import write_bin
+    from qcnn_tpu.formats.reference_codec import write_cbn
+
+    os.makedirs(weights_dir, exist_ok=True)
+
+    def path(kind: str, idx: int, ext: str) -> str:
+        return os.path.join(weights_dir, f"{prefix}.{kind}.{idx + 1:02d}.{ext}")
+
+    for i, (layer, p) in enumerate(zip(spec.layers, params)):
+        if p is None or not isinstance(layer, (ConvSpec, FCSpec)):
+            continue
+        write_bin(path("biasVec", i, "bin"),
+                  np.asarray(p["bias"], np.float32))
+        if "codebooks" in p:
+            write_bin(path("ctrdLst", i, "bin"),
+                      np.asarray(p["codebooks"], np.float32))
+            asmt = np.asarray(p["assignments"], np.uint8)
+            if encoding == "cbn":
+                write_cbn(path("asmtLst", i, "cbn"), asmt)
+            else:
+                write_bin(path("asmtLst", i, "bin"), asmt)
+        elif "kernel" in p:
+            # HWIO -> reference convKnl (Cout, Cg, kh, kw)
+            write_bin(path("convKnl", i, "bin"),
+                      np.transpose(np.asarray(p["kernel"], np.float32),
+                                   (3, 2, 0, 1)))
+        elif "weight" in p:
+            write_bin(path("fcntWei", i, "bin"),
+                      np.asarray(p["weight"], np.float32).T)
+
+
 def load_class_names(path: str) -> list[str]:
     """Class id -> name table (Cls.Names/class_names.txt; one name per line,
     reference CaffeEvaWrapper.cc:219-243)."""

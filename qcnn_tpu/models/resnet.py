@@ -16,7 +16,6 @@ decoded weights at preparation, like every production inference stack.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -218,7 +217,7 @@ def prepare_params(spec: ResNetSpec, params: dict, dtype=jnp.bfloat16) -> dict:
     import ml_dtypes
 
     from qcnn_tpu.models.prepare import (
-        _decode_conv_kernel_np, _decode_fc_weight_np, _np_dtype,
+        _decode_conv_kernel_np, _decode_fc_weight_np,
     )
 
     np_dtype = (

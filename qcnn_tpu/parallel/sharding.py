@@ -21,14 +21,13 @@ with_sharding_constraint hints; XLA GSPMD inserts the collectives.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from qcnn_tpu.core import ConvSpec, FCSpec, ModelSpec, is_pq
+from qcnn_tpu.core import FCSpec, ModelSpec, is_pq
 from qcnn_tpu.models import network
 from qcnn_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, batch_sharding
 

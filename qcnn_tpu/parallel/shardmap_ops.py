@@ -17,7 +17,6 @@ compute) and as the executable specification of what the GSPMD path must do:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Optional, Sequence
 
@@ -98,6 +99,17 @@ class BatchingEngine:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = {"requests": 0, "batches": 0, "padded_waste": 0}
+        self._latencies_ms: list[float] = []  # dispatch->result, recent
+
+    def latency_percentiles(self) -> dict:
+        if not self._latencies_ms:
+            return {}
+        arr = np.asarray(self._latencies_ms[-1000:])
+        return {
+            "p50_ms": round(float(np.percentile(arr, 50)), 3),
+            "p95_ms": round(float(np.percentile(arr, 95)), 3),
+            "p99_ms": round(float(np.percentile(arr, 99)), 3),
+        }
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -161,8 +173,6 @@ class BatchingEngine:
                 continue
             batch = [first]
             deadline = cfg.max_wait_ms / 1e3
-            import time
-
             t0 = time.perf_counter()
             while len(batch) < cfg.max_batch:
                 remaining = deadline - (time.perf_counter() - t0)
@@ -179,6 +189,7 @@ class BatchingEngine:
             if bucket > n:
                 pad = np.zeros((bucket - n,) + images.shape[1:], np.float32)
                 images = np.concatenate([images, pad])
+            t_dispatch = time.perf_counter()
             try:
                 probs = np.asarray(self._fwd(self.params, jnp.asarray(images)))
                 for i, fut in enumerate(futures):
@@ -187,6 +198,11 @@ class BatchingEngine:
                 for fut in futures:
                     if not fut.done():
                         fut.set_exception(e)
+            self._latencies_ms.append(
+                (time.perf_counter() - t_dispatch) * 1e3
+            )
+            if len(self._latencies_ms) > 4000:
+                del self._latencies_ms[:2000]
             self.stats["requests"] += n
             self.stats["batches"] += 1
             self.stats["padded_waste"] += bucket - n

@@ -36,6 +36,12 @@ def make_handler(engine: BatchingEngine, preprocessor, top_k: int,
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"ok": True, "stats": engine.stats})
+            elif self.path == "/metrics":
+                self._json(200, {
+                    **engine.stats,
+                    **engine.latency_percentiles(),
+                    "buckets": list(engine.config.bucket_ladder()),
+                })
             else:
                 self._json(404, {"error": "unknown path"})
 

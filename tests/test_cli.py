@@ -100,3 +100,36 @@ def test_classify_shipped_bmps(reference_dir, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "ground truth" in out
+
+
+def test_import_export_roundtrip_bit_exact(tmp_path, reference_dir):
+    """reference files -> checkpoint -> reference files: byte-identical
+    payloads for every shipped tensor."""
+    import glob
+
+    ckpt = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "exported")
+    assert main([
+        "import", ckpt,
+        "--weights-dir", os.path.join(reference_dir, "AlexNet", "Bin.Files"),
+        "--prefix", "bvlc_alexnet_aCaF", "--synthesize-missing",
+    ]) == 0
+    assert main([
+        "export", ckpt, out_dir, "--prefix", "bvlc_alexnet_aCaF",
+    ]) == 0
+    from qcnn_tpu.formats import read_asmt, read_bin
+
+    src_dir = os.path.join(reference_dir, "AlexNet", "Bin.Files")
+    checked = 0
+    for src in sorted(glob.glob(os.path.join(src_dir, "*.*"))):
+        name = os.path.basename(src)
+        dst = os.path.join(out_dir, name)
+        assert os.path.exists(dst), f"missing export {name}"
+        if name.endswith(".cbn"):
+            np.testing.assert_array_equal(read_asmt(src), read_asmt(dst))
+        else:
+            np.testing.assert_array_equal(
+                read_bin(src, np.float32), read_bin(dst, np.float32)
+            )
+        checked += 1
+    assert checked >= 20

@@ -113,3 +113,29 @@ def test_http_roundtrip(engine):
         assert raised
     finally:
         server.shutdown()
+
+
+def test_engine_on_mesh(tiny_spec, rng):
+    """DP-sharded engine on the virtual 8-device mesh."""
+    import jax
+
+    from qcnn_tpu.parallel.mesh import make_mesh
+
+    params = synth.random_pq_params(tiny_spec, seed=1)
+    mesh = make_mesh(jax.devices(), dp=4, tp=2)
+    eng = BatchingEngine(
+        tiny_spec, params,
+        config=EngineConfig(max_batch=8, max_wait_ms=5.0),
+        mesh=mesh,
+    ).start()
+    try:
+        futs = [
+            eng.submit(rng.standard_normal((11, 11, 4)).astype(np.float32))
+            for _ in range(12)
+        ]
+        res = [f.result(timeout=120) for f in futs]
+        assert all(r.shape == (10,) for r in res)
+        for r in res:
+            np.testing.assert_allclose(r.sum(), 1.0, rtol=1e-3)
+    finally:
+        eng.stop()
