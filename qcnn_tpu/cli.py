@@ -44,8 +44,10 @@ def cmd_classify(args) -> int:
         paths.extend(matched if matched else [pattern])
     correct = 0
     judged = 0
-    for p in paths:
-        res = clf.classify(p, top_k=args.top_k)
+    # One batched forward over all images (threaded native preprocessing);
+    # the reference loops batch-1 (CaffeEva.cc:23,167).
+    results = clf.classify_batch(paths, top_k=args.top_k)
+    for p, res in zip(paths, results):
         print(f"{os.path.basename(p)}:")
         for cid, prob, name in zip(res.class_ids, res.probs, res.class_names):
             print(f"  {prob:6.4f}  {cid:4d}  {name}")
@@ -369,7 +371,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("profile", help="per-layer device times")
-    p.add_argument("--model", default="alexnet")
+    p.add_argument("--model", default="alexnet",
+                   choices=["alexnet", "caffenet", "vgg_cnn_s", "vgg16",
+                            "caffenet_fgb", "caffenet_fgd"])
     p.add_argument("--reference-dir", default="/root/reference")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--dtype", default="bfloat16",

@@ -122,17 +122,8 @@ class Classifier:
         clf.load_result = res
         return clf
 
-    def classify(self, bmp_path: str, top_k: int = 5) -> ClassifyResult:
-        import time
-
-        t0 = time.perf_counter()
-        with self.timers.time("preproc"):
-            x = jnp.asarray(self.pre.load(bmp_path))
-        with self.timers.time("forward") as _:
-            probs = self._fwd(self.params, x)
-            probs = np.asarray(probs)[0]
+    def _result(self, probs, bmp_path, top_k, elapsed) -> ClassifyResult:
         idx = np.argsort(-probs)[:top_k]
-        elapsed = time.perf_counter() - t0
         names = [
             self.class_names[i] if i < len(self.class_names) else str(i)
             for i in idx
@@ -153,6 +144,38 @@ class Classifier:
             ground_truth=gt,
             time_total_s=elapsed,
         )
+
+    def classify(self, bmp_path: str, top_k: int = 5) -> ClassifyResult:
+        import time
+
+        t0 = time.perf_counter()
+        with self.timers.time("preproc"):
+            x = jnp.asarray(self.pre.load(bmp_path))
+        with self.timers.time("forward"):
+            probs = np.asarray(self._fwd(self.params, x))[0]
+        return self._result(
+            probs, bmp_path, top_k, time.perf_counter() - t0
+        )
+
+    def classify_batch(
+        self, bmp_paths: Sequence[str], top_k: int = 5
+    ) -> list[ClassifyResult]:
+        """One preprocessing pass (threaded native pipeline) + one batched
+        forward for all images (the reference loops batch-1,
+        CaffeEva.cc:23,167)."""
+        import time
+
+        t0 = time.perf_counter()
+        with self.timers.time("preproc"):
+            x = jnp.asarray(self.pre.load_batch(bmp_paths))
+        with self.timers.time("forward"):
+            probs = np.asarray(self._fwd(self.params, x))
+        elapsed = time.perf_counter() - t0
+        per = elapsed / max(len(bmp_paths), 1)
+        return [
+            self._result(probs[i], p, top_k, per)
+            for i, p in enumerate(bmp_paths)
+        ]
 
 
 def accuracy_at_k(

@@ -146,24 +146,33 @@ class Preprocessor:
         threaded C++ pipeline (preproc/native/imgproc.cc) when it compiles,
         'never' forces the NumPy path, 'require' errors without it."""
         if native != "never":
-            from qcnn_tpu.preproc import native as native_mod
-
-            if native_mod.available():
-                blobs = [open(p, "rb").read() for p in bmp_paths]
-                out, failures = native_mod.preproc_batch(
-                    blobs,
-                    full_h=self.full_h, full_w=self.full_w,
-                    crop_h=self.crop_h, crop_w=self.crop_w,
-                    relaxed=self.resz_type is ReszType.RELAXED,
-                    mean_hwc=self.mean_image,
-                    mean_full=self.mean_type is MeanType.FULL,
-                )
-                if failures:
-                    raise ValueError(
-                        f"{failures} of {len(bmp_paths)} images failed "
-                        "native decode"
-                    )
+            out = self.process_blobs(
+                [open(p, "rb").read() for p in bmp_paths],
+                require=(native == "require"),
+            )
+            if out is not None:
                 return out
             if native == "require":
                 raise RuntimeError("native imgproc unavailable")
         return np.stack([self(read_bmp(p)) for p in bmp_paths])
+
+    def process_blobs(self, blobs, require: bool = False):
+        """BMP byte blobs -> (N, crop_h, crop_w, 3) via the C++ pipeline;
+        None when the native library is unavailable (caller falls back)."""
+        from qcnn_tpu.preproc import native as native_mod
+
+        if not native_mod.available():
+            return None
+        out, failures = native_mod.preproc_batch(
+            blobs,
+            full_h=self.full_h, full_w=self.full_w,
+            crop_h=self.crop_h, crop_w=self.crop_w,
+            relaxed=self.resz_type is ReszType.RELAXED,
+            mean_hwc=self.mean_image,
+            mean_full=self.mean_type is MeanType.FULL,
+        )
+        if failures:
+            raise ValueError(
+                f"{failures} of {len(blobs)} images failed native decode"
+            )
+        return out

@@ -58,14 +58,21 @@ def make_handler(engine: BatchingEngine, preprocessor, top_k: int,
                     )
                     img = np.frombuffer(body, np.float32).reshape(shape)
                 else:
-                    from qcnn_tpu.preproc.bmp import decode_bmp
-
-                    img = decode_bmp(body)
                     # BMP uploads go through the model's preprocessing
                     # (resize/crop/mean-subtract -> HWC); X-Shape raw
                     # tensors are assumed preprocessed.
                     if preprocessor is not None:
-                        img = preprocessor(img)
+                        batch = preprocessor.process_blobs([body])
+                        if batch is not None:  # threaded C++ pipeline
+                            img = batch[0]
+                        else:
+                            from qcnn_tpu.preproc.bmp import decode_bmp
+
+                            img = preprocessor(decode_bmp(body))
+                    else:
+                        from qcnn_tpu.preproc.bmp import decode_bmp
+
+                        img = decode_bmp(body)
             except Exception as e:  # noqa: BLE001
                 self._json(400, {"error": f"bad image: {e}"})
                 return
