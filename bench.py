@@ -164,6 +164,9 @@ def main() -> None:
     prepared = jax.device_put(prepared)
     log(f"strategies: conv={conv_impls} fc={fc_impls} dtype={args.dtype}")
 
+    import time as _time
+
+    t_start = _time.perf_counter()
     per_step = measure_per_step(
         spec, prepared, synth.random_input(spec, args.batch, seed=1),
         conv_impls, fc_impls, dtype, args.k1, args.k2,
@@ -172,11 +175,26 @@ def main() -> None:
     log(f"batch={args.batch}: {per_step*1e3:.3f} ms/step, "
         f"{imgs_per_sec:.1f} img/s")
 
-    per_step1 = measure_per_step(
-        spec, prepared, synth.random_input(spec, 1, seed=2),
-        conv_impls, fc_impls, dtype, max(args.k1, 8), max(args.k2, 64),
-    )
-    log(f"batch=1: {per_step1*1e3:.3f} ms/image steady-state")
+    # Batch-1 latency is a second program (compile + run). The pooled chip's
+    # per-process claim latency is unpredictable (45 s - 8 min); if the
+    # throughput phase already burned most of a sane budget, skip latency
+    # rather than risk the driver timing out with NO JSON line emitted.
+    import os as _os
+
+    budget_s = float(_os.environ.get("QCNN_BENCH_BUDGET_S", "420"))
+    per_step1 = None
+    if _time.perf_counter() - t_start < budget_s:
+        try:
+            per_step1 = measure_per_step(
+                spec, prepared, synth.random_input(spec, 1, seed=2),
+                conv_impls, fc_impls, dtype,
+                max(args.k1, 8), max(args.k2, 64),
+            )
+            log(f"batch=1: {per_step1*1e3:.3f} ms/image steady-state")
+        except Exception as e:  # noqa: BLE001 - latency is optional
+            log(f"batch-1 phase failed ({e}); reporting throughput only")
+    else:
+        log("skipping batch-1 phase (time budget)")
 
     print(json.dumps({
         "metric": "alexnet_pq_images_per_sec",
@@ -184,7 +202,9 @@ def main() -> None:
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / REFERENCE_IMGS_PER_SEC, 2),
         "batch": args.batch,
-        "ms_per_image_batch1": round(per_step1 * 1e3, 4),
+        "ms_per_image_batch1": (
+            round(per_step1 * 1e3, 4) if per_step1 is not None else None
+        ),
         "device": str(jax.devices()[0].platform),
     }))
 

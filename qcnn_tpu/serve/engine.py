@@ -30,6 +30,15 @@ from typing import Optional, Sequence
 import numpy as np
 
 
+@dataclasses.dataclass(frozen=True)
+class _ShapeOnlySpec:
+    """Minimal spec for from_forward engines (warmup/shape checks only)."""
+
+    in_height: int
+    in_width: int
+    in_channels: int
+
+
 @dataclasses.dataclass
 class EngineConfig:
     max_batch: int = 64
@@ -51,6 +60,36 @@ class EngineConfig:
 
 class BatchingEngine:
     """Coalesces classify requests into bucketed device batches."""
+
+    @classmethod
+    def from_forward(
+        cls,
+        forward_fn,
+        params,
+        input_shape: tuple[int, int, int],
+        *,
+        config: EngineConfig = EngineConfig(),
+    ) -> "BatchingEngine":
+        """Engine over an arbitrary jit-able forward(params, x_nhwc) — e.g.
+        the ResNet/ViT families, whose params are nested pytrees rather than
+        the linear ModelSpec list."""
+        import jax
+
+        self = cls.__new__(cls)
+        self.spec = _ShapeOnlySpec(*input_shape)
+        self.config = config
+        self._buckets = config.bucket_ladder()
+        self.params = jax.device_put(params)
+        self._fwd = jax.jit(forward_fn)
+        self._init_runtime()
+        return self
+
+    def _init_runtime(self) -> None:
+        self._queue: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.stats = {"requests": 0, "batches": 0, "padded_waste": 0}
+        self._latencies_ms: list[float] = []  # dispatch->result, recent
 
     def __init__(
         self,
@@ -95,11 +134,7 @@ class BatchingEngine:
                 compute_dtype=compute_dtype,
                 with_softmax=config.with_softmax,
             )
-        self._queue: queue.Queue = queue.Queue()
-        self._stop = threading.Event()
-        self._thread: Optional[threading.Thread] = None
-        self.stats = {"requests": 0, "batches": 0, "padded_waste": 0}
-        self._latencies_ms: list[float] = []  # dispatch->result, recent
+        self._init_runtime()
 
     def latency_percentiles(self) -> dict:
         if not self._latencies_ms:

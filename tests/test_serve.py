@@ -139,3 +139,35 @@ def test_engine_on_mesh(tiny_spec, rng):
             np.testing.assert_allclose(r.sum(), 1.0, rtol=1e-3)
     finally:
         eng.stop()
+
+
+def test_engine_from_forward_resnet(rng):
+    """Engine over the ResNet family via the generic forward constructor."""
+    import functools
+
+    from qcnn_tpu.models import resnet
+
+    spec = resnet.ResNetSpec(
+        "rn-serve", (1,), (32,), num_classes=7, in_size=16, bottleneck=False
+    )
+    pq = resnet.quantize_params(
+        spec, resnet.init_dense_params(spec, seed=9),
+        conv_codewords=8, fc_codewords=8,
+    )
+    prepared = resnet.prepare_params(spec, pq, dtype=np.float32)
+    fwd = functools.partial(resnet.forward, spec=spec, with_softmax=True)
+    eng = BatchingEngine.from_forward(
+        fwd, prepared, (16, 16, 3),
+        config=EngineConfig(max_batch=4, max_wait_ms=5.0),
+    ).start()
+    try:
+        futs = [
+            eng.submit(rng.standard_normal((16, 16, 3)).astype(np.float32))
+            for _ in range(6)
+        ]
+        res = [f.result(timeout=60) for f in futs]
+        assert all(r.shape == (7,) for r in res)
+        for r in res:
+            np.testing.assert_allclose(r.sum(), 1.0, rtol=1e-3)
+    finally:
+        eng.stop()
