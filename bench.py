@@ -127,7 +127,7 @@ def main() -> None:
     ap.add_argument("--conv-impl", default="auto")
     ap.add_argument("--fc-impl", default="auto")
     ap.add_argument("--dtype", default="bfloat16",
-                    choices=["bfloat16", "float32"])
+                    choices=["bfloat16", "float32", "int8"])
     ap.add_argument("--k1", type=int, default=4)
     ap.add_argument("--k2", type=int, default=20)
     args = ap.parse_args()
@@ -139,7 +139,8 @@ def main() -> None:
     from qcnn_tpu.models.prepare import prepare_params
 
     log(f"jax {jax.__version__}, devices: {jax.devices()}")
-    dtype_arg = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    dtype_arg = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                 "int8": jnp.int8}[args.dtype]
     if args.model != "alexnet":
         per_step, spec = bench_family(
             args.model, args.batch, dtype_arg, args.k1, args.k2
@@ -156,7 +157,10 @@ def main() -> None:
         }))
         return
     spec, params = load_params()
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    dtype = dtype_arg
+    # int8 applies to weights; activations stay bf16 between layers and are
+    # dynamically quantized inside the int8 ops
+    act_dtype = jnp.bfloat16 if args.dtype == "int8" else dtype
     prepared, conv_impls, fc_impls = prepare_params(
         spec, params, batch_hint=args.batch,
         conv_impl=args.conv_impl, fc_impl=args.fc_impl, dtype=dtype,
@@ -169,7 +173,7 @@ def main() -> None:
     t_start = _time.perf_counter()
     per_step = measure_per_step(
         spec, prepared, synth.random_input(spec, args.batch, seed=1),
-        conv_impls, fc_impls, dtype, args.k1, args.k2,
+        conv_impls, fc_impls, act_dtype, args.k1, args.k2,
     )
     imgs_per_sec = args.batch / per_step
     log(f"batch={args.batch}: {per_step*1e3:.3f} ms/step, "
@@ -187,7 +191,7 @@ def main() -> None:
         try:
             per_step1 = measure_per_step(
                 spec, prepared, synth.random_input(spec, 1, seed=2),
-                conv_impls, fc_impls, dtype,
+                conv_impls, fc_impls, act_dtype,
                 max(args.k1, 8), max(args.k2, 64),
             )
             log(f"batch=1: {per_step1*1e3:.3f} ms/image steady-state")

@@ -228,26 +228,55 @@ def cmd_quantize(args) -> int:
 # ---------------------------------------------------------------------------
 
 def cmd_serve(args) -> int:
-    from qcnn_tpu.eval.harness import Classifier
+    import functools
+
     from qcnn_tpu.serve.engine import BatchingEngine, EngineConfig
     from qcnn_tpu.serve.http import serve as http_serve
 
-    clf = Classifier.from_reference(
-        args.model,
-        args.reference_dir,
-        class_names_path=os.path.join(
-            args.reference_dir, "Cls.Names", "class_names.txt"
-        ),
+    config = EngineConfig(
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
     )
-    # reuse the classifier's already-prepared raw params for the engine
-    from qcnn_tpu.models.loader import load_reference_model  # noqa: F401
+    preprocessor = None
+    class_names = None
+    if args.model in ("resnet50", "resnet18", "vit_b16", "vit_s16"):
+        # family models: synthetic PQ weights (no pretrained checkpoints
+        # ship offline); serves raw preprocessed tensors via X-Shape
+        if args.model.startswith("resnet"):
+            from qcnn_tpu.models import resnet as fam
 
-    engine = BatchingEngine(
-        clf.spec,
-        clf.raw_params,
-        config=EngineConfig(max_batch=args.max_batch,
-                            max_wait_ms=args.max_wait_ms),
-    ).start()
+            spec = fam.RESNETS[args.model]()
+            size = spec.in_size
+        else:
+            from qcnn_tpu.models import vit as fam
+
+            spec = fam.VITS[args.model]()
+            size = spec.image_size
+        pq = fam.quantize_params(spec, fam.init_dense_params(spec, seed=0))
+        prepared = fam.prepare_params(spec, pq)
+        import jax.numpy as jnp
+
+        fwd = functools.partial(
+            fam.forward, spec=spec, compute_dtype=jnp.bfloat16,
+            with_softmax=True,
+        )
+        engine = BatchingEngine.from_forward(
+            fwd, prepared, (size, size, 3), config=config
+        ).start()
+    else:
+        from qcnn_tpu.eval.harness import Classifier
+
+        clf = Classifier.from_reference(
+            args.model,
+            args.reference_dir,
+            class_names_path=os.path.join(
+                args.reference_dir, "Cls.Names", "class_names.txt"
+            ),
+        )
+        engine = BatchingEngine(
+            clf.spec, clf.raw_params, config=config
+        ).start()
+        preprocessor = clf.pre
+        class_names = clf.class_names
     log("warming up bucket programs...")
     engine.warmup()
     log(f"serving on http://{args.host}:{args.port}")
@@ -255,8 +284,8 @@ def cmd_serve(args) -> int:
         engine,
         host=args.host,
         port=args.port,
-        preprocessor=clf.pre,
-        class_names=clf.class_names,
+        preprocessor=preprocessor,
+        class_names=class_names,
     )
     return 0
 

@@ -129,10 +129,20 @@ def forward(
     for i, (layer, p) in enumerate(zip(spec.layers, params)):
         if isinstance(layer, ConvSpec):
             if conv_strat[i] == "dense":
-                x = conv_dense(
-                    x, p["kernel"], p["bias"],
-                    stride=layer.stride, pad=layer.pad, groups=layer.groups,
-                )
+                if "kernel_q" in p:
+                    from qcnn_tpu.ops.conv import conv_dense_int8
+
+                    x = conv_dense_int8(
+                        x, p["kernel_q"], p["scale"], p["bias"],
+                        stride=layer.stride, pad=layer.pad,
+                        groups=layer.groups,
+                    )
+                else:
+                    x = conv_dense(
+                        x, p["kernel"], p["bias"],
+                        stride=layer.stride, pad=layer.pad,
+                        groups=layer.groups,
+                    )
             else:
                 x = pq_conv(
                     x, p,
@@ -153,7 +163,12 @@ def forward(
             else:
                 x = x.reshape(x.shape[0], -1)
             if fc_strat[i] == "dense":
-                x = fc_dense(x, p["weight"], p["bias"])
+                if "weight_q" in p:
+                    from qcnn_tpu.ops.fc import fc_dense_int8
+
+                    x = fc_dense_int8(x, p["weight_q"], p["scale"], p["bias"])
+                else:
+                    x = fc_dense(x, p["weight"], p["bias"])
             else:
                 x = pq_fc(x, p, impl=fc_strat[i])
             if compute_dtype is not None:

@@ -37,6 +37,18 @@ def _np_dtype(dtype):
     return ml_dtypes.bfloat16 if dtype in (jnp.bfloat16, "bfloat16") else dtype
 
 
+def _is_int8(dtype) -> bool:
+    return dtype in (jnp.int8, np.int8, "int8")
+
+
+def _quantize_weight_int8(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-output-channel (last axis) symmetric int8: w ≈ w_q * scale."""
+    amax = np.maximum(np.abs(w).max(axis=tuple(range(w.ndim - 1))), 1e-12)
+    scale = (amax / 127.0).astype(np.float32)
+    wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return wq, scale
+
+
 def _decode_fc_weight_np(codebooks, assignments, in_features):
     s, k, d = codebooks.shape
     gathered = codebooks[np.arange(s)[None, :], assignments.astype(np.int64)]
@@ -85,21 +97,34 @@ def prepare_params(
                 out.append(p)
             elif not is_pq(p):
                 conv_final.append("dense")
-                out.append(
-                    {"kernel": np.asarray(p["kernel"], _np_dtype(dtype)),
-                     "bias": np.asarray(p["bias"], np.float32)}
-                )
+                if _is_int8(dtype):
+                    kq, scale = _quantize_weight_int8(
+                        np.asarray(p["kernel"], np.float32)
+                    )
+                    out.append({"kernel_q": kq, "scale": scale,
+                                "bias": np.asarray(p["bias"], np.float32)})
+                else:
+                    out.append(
+                        {"kernel": np.asarray(p["kernel"], _np_dtype(dtype)),
+                         "bias": np.asarray(p["bias"], np.float32)}
+                    )
             elif conv_strat[i] == "decode":
                 kernel = _decode_conv_kernel_np(
                     np.asarray(p["codebooks"]),
                     np.asarray(p["assignments"]),
                     c // layer.groups,
                 )
-                conv_final.append("dense")
-                out.append(
-                    {"kernel": kernel.astype(_np_dtype(dtype)),
-                     "bias": np.asarray(p["bias"], np.float32)}
-                )
+                bias = np.asarray(p["bias"], np.float32)
+                if _is_int8(dtype):
+                    kq, scale = _quantize_weight_int8(kernel)
+                    conv_final.append("dense")
+                    out.append({"kernel_q": kq, "scale": scale, "bias": bias})
+                else:
+                    conv_final.append("dense")
+                    out.append(
+                        {"kernel": kernel.astype(_np_dtype(dtype)),
+                         "bias": bias}
+                    )
             else:
                 conv_final.append(conv_strat[i])
                 out.append(_cast_pq(p, dtype))
@@ -110,10 +135,17 @@ def prepare_params(
                 out.append(p)
             elif not is_pq(p):
                 fc_final.append("dense")
-                out.append(
-                    {"weight": np.asarray(p["weight"], _np_dtype(dtype)),
-                     "bias": np.asarray(p["bias"], np.float32)}
-                )
+                if _is_int8(dtype):
+                    wq, scale = _quantize_weight_int8(
+                        np.asarray(p["weight"], np.float32)
+                    )
+                    out.append({"weight_q": wq, "scale": scale,
+                                "bias": np.asarray(p["bias"], np.float32)})
+                else:
+                    out.append(
+                        {"weight": np.asarray(p["weight"], _np_dtype(dtype)),
+                         "bias": np.asarray(p["bias"], np.float32)}
+                    )
             elif fc_strat[i] == "decode":
                 cin = h * w * c
                 weight = _decode_fc_weight_np(
@@ -121,11 +153,17 @@ def prepare_params(
                     np.asarray(p["assignments"]),
                     cin,
                 )
-                fc_final.append("dense")
-                out.append(
-                    {"weight": weight.astype(_np_dtype(dtype)),
-                     "bias": np.asarray(p["bias"], np.float32)}
-                )
+                bias = np.asarray(p["bias"], np.float32)
+                if _is_int8(dtype):
+                    wq, scale = _quantize_weight_int8(weight)
+                    fc_final.append("dense")
+                    out.append({"weight_q": wq, "scale": scale, "bias": bias})
+                else:
+                    fc_final.append("dense")
+                    out.append(
+                        {"weight": weight.astype(_np_dtype(dtype)),
+                         "bias": bias}
+                    )
             else:
                 fc_final.append(fc_strat[i])
                 out.append(_cast_pq(p, dtype))
@@ -137,8 +175,11 @@ def prepare_params(
 
 
 def _cast_pq(p: dict, dtype) -> dict:
+    # LUT-strategy layers keep float codebooks (int8 execution applies to
+    # the decoded-dense path only)
+    cb_dtype = jnp.bfloat16 if _is_int8(dtype) else dtype
     return {
-        "codebooks": np.asarray(p["codebooks"], _np_dtype(dtype)),
+        "codebooks": np.asarray(p["codebooks"], _np_dtype(cb_dtype)),
         "assignments": np.asarray(p["assignments"]),
         "bias": np.asarray(p["bias"], np.float32),
     }

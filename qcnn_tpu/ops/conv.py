@@ -58,6 +58,33 @@ def conv_dense(
     return out + bias
 
 
+def conv_dense_int8(
+    x: jax.Array,
+    kernel_q: jax.Array,
+    k_scale: jax.Array,
+    bias: jax.Array,
+    *,
+    stride: int,
+    pad: int,
+    groups: int = 1,
+) -> jax.Array:
+    """int8 conv: kernel_q (kh,kw,Cg,Cout) int8, per-Cout scales; dynamic
+    per-tensor activation quantization (see ops/fc.py fc_dense_int8)."""
+    from qcnn_tpu.ops.fc import quantize_activations_int8
+
+    xq, x_scale = quantize_activations_int8(x)
+    acc = lax.conv_general_dilated(
+        xq,
+        kernel_q,
+        window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=_DN,
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (x_scale * k_scale) + bias
+
+
 def pq_conv_decode(
     x: jax.Array, params: dict, *, stride: int, pad: int, groups: int = 1
 ) -> jax.Array:

@@ -21,6 +21,33 @@ def fc_dense(x: jax.Array, weight: jax.Array, bias: jax.Array) -> jax.Array:
     return jnp.dot(x, weight, preferred_element_type=jnp.float32) + bias
 
 
+def quantize_activations_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Dynamic symmetric per-tensor int8 quantization: (x_q, scale) with
+    x ≈ x_q * scale. The amax reduction + round fuse into the surrounding
+    graph on TPU."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12)
+    scale = amax / 127.0
+    xq = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return xq, scale
+
+
+def fc_dense_int8(
+    x: jax.Array, weight_q: jax.Array, w_scale: jax.Array, bias: jax.Array
+) -> jax.Array:
+    """int8 GEMM: weight_q (Cin, Cout) int8 with per-output-channel scales
+    (models/prepare.py int8 mode); activations quantized on the fly. The
+    MXU runs int8 at ~1.6x its bf16 rate on the attached chip (269 TOP/s
+    measured) and the weight HBM stream halves vs bf16."""
+    xq, x_scale = quantize_activations_int8(x)
+    acc = jax.lax.dot_general(
+        xq, weight_q,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (x_scale * w_scale) + bias
+
+
 def pq_fc_onehot(x: jax.Array, params: dict) -> jax.Array:
     """PQ FC via LUT + one-hot matmul (MXU-friendly gather-accumulate)."""
     codebooks = params["codebooks"]

@@ -76,3 +76,25 @@ def test_prepare_alexnet_shapes():
             assert p["kernel"].dtype == jnp.bfloat16
         if "weight" in p:
             assert p["weight"].dtype == jnp.bfloat16
+
+
+def test_prepare_int8_top1_agreement():
+    spec = _tiny()
+    params = synth.random_pq_params(spec, seed=5)
+    x = synth.random_input(spec, batch=16, seed=6)
+    ref = np.asarray(network.forward(params, x, spec=spec))
+    prepared, conv_impls, fc_impls = prepare_params(
+        spec, params, dtype=jnp.int8
+    )
+    assert any(
+        p is not None and "kernel_q" in p for p in prepared
+    )
+    got = np.asarray(
+        network.forward(
+            prepared, x, spec=spec, conv_impls=conv_impls,
+            fc_impls=fc_impls, compute_dtype=jnp.float32,
+        )
+    )
+    # int8 execution of PQ-decoded weights: probabilities close, argmax equal
+    np.testing.assert_allclose(got, ref, atol=0.08)
+    np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
