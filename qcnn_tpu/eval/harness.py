@@ -78,6 +78,12 @@ class Classifier:
                 jnp.bfloat16 if jax.default_backend() == "tpu"
                 else jnp.float32
             )
+        # int8 selects the weight representation; activations stay bf16 and
+        # are quantized dynamically inside the int8 ops.
+        act_dtype = (
+            jnp.bfloat16 if compute_dtype in (jnp.int8, "int8")
+            else compute_dtype
+        )
         # Prepare once (decode-at-load): at batch 1 the auto onehot FC path
         # materializes GB-scale one-hot intermediates and is never the right
         # default for serving.
@@ -88,7 +94,7 @@ class Classifier:
         self.params = jax.device_put(prepared)
         self._fwd = make_forward_fn(
             spec, conv_impls=conv_impls, fc_impls=fc_impls,
-            compute_dtype=compute_dtype,
+            compute_dtype=act_dtype,
         )
 
     @classmethod

@@ -114,6 +114,10 @@ class BatchingEngine:
                 jnp.bfloat16 if jax.default_backend() == "tpu"
                 else jnp.float32
             )
+        act_dtype = (
+            jnp.bfloat16 if compute_dtype in (jnp.int8, "int8")
+            else compute_dtype
+        )
         prepared, conv_impls, fc_impls = prepare_params(
             spec, params, dtype=compute_dtype
         )
@@ -131,7 +135,7 @@ class BatchingEngine:
                 spec,
                 conv_impls=conv_impls,
                 fc_impls=fc_impls,
-                compute_dtype=compute_dtype,
+                compute_dtype=act_dtype,
                 with_softmax=config.with_softmax,
             )
         self._init_runtime()
