@@ -31,6 +31,43 @@ from qcnn_tpu.ops import lut as lut_ops
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
+def _space_to_depth_transform(x, kernel, stride):
+    """Rewrite a strided small-Cin conv as a stride-1 conv on a
+    space-to-depth input.
+
+    A stem conv (AlexNet: 11x11/s4 over 3 channels) feeds the MXU a
+    3-channel contraction — 97% of the 128 input lanes idle. Folding r x r
+    spatial blocks into channels (r = stride) gives an equivalent stride-1
+    conv over r*r*Cin channels: output o reads taps r*o + t, t < k, which in
+    block coordinates is a ceil-sized kernel over blocks with the original
+    weights scattered by (t // r, t % r) and zeros elsewhere.
+
+    Exact for pad == 0 (AlexNet conv1). Returns (x_sd, kernel_sd).
+    """
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = kernel.shape
+    r = stride
+    kb = (kh - 1) // r + 1  # block-kernel size
+    # pad H/W up to a multiple of r; padded pixels only fall in zero weight
+    # slots (tap index >= kh) or beyond the last output's receptive field
+    hp = -(-h // r) * r
+    wp = -(-w // r) * r
+    x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    x_sd = (
+        x.reshape(b, hp // r, r, wp // r, r, cin)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, hp // r, wp // r, r * r * cin)
+    )
+    # scatter weights: k_sd[bi, bj, (pi, pj, c), o] = k[r*bi+pi, r*bj+pj, c, o]
+    k_sd = jnp.zeros((kb, kb, r, r, cin, cout), kernel.dtype)
+    for ti in range(kh):
+        for tj in range(kw):
+            k_sd = k_sd.at[ti // r, tj // r, ti % r, tj % r].set(
+                kernel[ti, tj]
+            )
+    return x_sd, k_sd.reshape(kb, kb, r * r * cin, cout)
+
+
 def conv_dense(
     x: jax.Array,
     kernel: jax.Array,
@@ -39,13 +76,36 @@ def conv_dense(
     stride: int,
     pad: int,
     groups: int = 1,
+    space_to_depth: bool = False,
 ) -> jax.Array:
     """x: (B,H,W,Cin), kernel: (kh,kw,Cin/groups,Cout) -> (B,Ho,Wo,Cout).
 
     Computes in the kernel's dtype (bf16 kernels -> bf16 MXU passes) with
-    float32 accumulation; output is float32 + bias."""
+    float32 accumulation; output is float32 + bias.
+
+    space_to_depth=True rewrites a strided small-Cin stem conv via
+    _space_to_depth_transform. Measured on the attached chip it LOSES
+    (AlexNet conv1 b256: 1791 us vs 1247 us plain) — the input relayout
+    costs more than XLA's native small-Cin handling — so it is opt-in,
+    kept as a documented negative result (docs/KERNEL_STUDIES.md).
+    """
     if x.dtype != kernel.dtype:
         x = x.astype(kernel.dtype)
+    out_hw = None
+    if (
+        space_to_depth
+        and pad == 0 and stride > 1 and groups == 1
+        and x.shape[-1] <= 4 and kernel.shape[0] > stride
+    ):
+        # expected output size under the ORIGINAL conv (floor rule,
+        # CaffeEva.cc:361-362); the SD conv can produce extra trailing
+        # rows/cols when (H - k) % stride != 0 — slice them off
+        out_hw = (
+            (x.shape[1] - kernel.shape[0]) // stride + 1,
+            (x.shape[2] - kernel.shape[1]) // stride + 1,
+        )
+        x, kernel = _space_to_depth_transform(x, kernel, stride)
+        stride = 1
     out = lax.conv_general_dilated(
         x,
         kernel,
@@ -55,6 +115,8 @@ def conv_dense(
         feature_group_count=groups,
         preferred_element_type=jnp.float32,
     )
+    if out_hw is not None:
+        out = out[:, : out_hw[0], : out_hw[1]]
     return out + bias
 
 

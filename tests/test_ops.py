@@ -250,3 +250,38 @@ class TestDenseConv:
                         patch * kern[:, :, :, o]
                     ).sum(axis=(1, 2, 3)) + bias[o]
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestSpaceToDepthConv:
+    """The stem-conv space-to-depth rewrite must be exact vs the plain conv."""
+
+    @pytest.mark.parametrize(
+        "h,w,k,s,cin",
+        [
+            (227, 227, 11, 4, 3),   # AlexNet conv1
+            (224, 224, 7, 2, 3),    # VggCnnS conv1
+            (230, 231, 11, 4, 3),   # ragged: (H-k) % s != 0
+            (64, 64, 5, 3, 4),      # non-divisible stride
+        ],
+    )
+    def test_matches_plain_conv(self, rng, h, w, k, s, cin):
+        from jax import lax
+
+        from qcnn_tpu.ops.conv import conv_dense, _DN
+
+        x = rng.standard_normal((2, h, w, cin)).astype(np.float32)
+        kernel = rng.standard_normal((k, k, cin, 32)).astype(np.float32)
+        bias = rng.standard_normal(32).astype(np.float32)
+        got = np.asarray(
+            conv_dense(x, kernel, bias, stride=s, pad=0,
+                       space_to_depth=True)
+        )
+        want = np.asarray(
+            lax.conv_general_dilated(
+                x, kernel, (s, s), [(0, 0), (0, 0)],
+                dimension_numbers=_DN,
+                preferred_element_type=np.float32,
+            ) + bias
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
