@@ -60,7 +60,9 @@ def measure_per_step(spec, params, x, conv_impls, fc_impls, dtype, k1, k2):
             conv_impls=conv_impls, fc_impls=fc_impls, compute_dtype=dtype,
         )
 
-    return time_device_fn(step, x, params, k1=k1, k2=k2)
+    # reps=5: each rep is two ~30 ms fetches once compiled; the extra
+    # samples damp the shared chip's run-to-run variance (~±10 %)
+    return time_device_fn(step, x, params, k1=k1, k2=k2, reps=5)
 
 
 def bench_family(model: str, batch: int, dtype, k1: int, k2: int):

@@ -180,6 +180,8 @@ def cmd_export(args) -> int:
 # ---------------------------------------------------------------------------
 
 def cmd_quantize(args) -> int:
+    if args.cpu:
+        _force_cpu()
     import jax
     import numpy as np
 
@@ -219,6 +221,44 @@ def cmd_quantize(args) -> int:
         log(f"layer {i} ({type(layer).__name__}): quantized")
     save_checkpoint(args.out, spec, out_params)
     log(f"wrote PQ checkpoint {args.out}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# make-family — build a quantized ResNet/ViT checkpoint (random dense init;
+# importers for external pretrained formats plug in here)
+# ---------------------------------------------------------------------------
+
+def _force_cpu() -> None:
+    """Quantization is many small k-means programs; per-shape remote TPU
+    compiles (~30 s each) dwarf the math. --cpu runs them on the host.
+    (Must flip via jax.config: the TPU platform is pinned at interpreter
+    start by the environment.)"""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def cmd_make_family(args) -> int:
+    if args.cpu:
+        _force_cpu()
+    from qcnn_tpu.formats.checkpoint import save_family_checkpoint
+
+    if args.model.startswith("resnet"):
+        from qcnn_tpu.models import resnet as fam
+
+        spec = fam.RESNETS[args.model]()
+        family = "resnet"
+    else:
+        from qcnn_tpu.models import vit as fam
+
+        spec = fam.VITS[args.model]()
+        family = "vit"
+    dense = fam.init_dense_params(spec, seed=args.seed)
+    params = dense if args.dense else fam.quantize_params(spec, dense)
+    save_family_checkpoint(args.out, family, spec, params)
+    log(f"wrote {'dense' if args.dense else 'PQ'} {args.model} "
+        f"checkpoint {args.out}")
     return 0
 
 
@@ -388,7 +428,21 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--fc-subvec-len", type=int, default=4)
     q.add_argument("--fc-codewords", type=int, default=32)
     q.add_argument("--seed", type=int, default=0)
+    q.add_argument("--cpu", action="store_true",
+                   help="run the quantizer on the host CPU")
     q.set_defaults(fn=cmd_quantize)
+
+    mf = sub.add_parser("make-family",
+                        help="build a ResNet/ViT PQ checkpoint")
+    mf.add_argument("model", choices=["resnet50", "resnet18",
+                                      "vit_b16", "vit_s16"])
+    mf.add_argument("out")
+    mf.add_argument("--seed", type=int, default=0)
+    mf.add_argument("--dense", action="store_true",
+                    help="skip quantization (FP32 checkpoint)")
+    mf.add_argument("--cpu", action="store_true",
+                    help="run the quantizer on the host CPU")
+    mf.set_defaults(fn=cmd_make_family)
 
     s = sub.add_parser("serve", help="continuous-batching HTTP daemon")
     s.add_argument("--model", default="alexnet")

@@ -93,6 +93,106 @@ def unpack_indices(
     return vals.reshape(shape).astype(np.uint8 if bits <= 8 else np.uint16)
 
 
+# ---------------------------------------------------------------------------
+# Family checkpoints (ResNet/ViT): nested-dict params + dataclass spec
+# ---------------------------------------------------------------------------
+
+_FAMILY_SPECS = {
+    "resnet": "qcnn_tpu.models.resnet:ResNetSpec",
+    "vit": "qcnn_tpu.models.vit:ViTSpec",
+}
+
+
+def _family_spec_cls(family: str):
+    import importlib
+
+    mod_name, cls_name = _FAMILY_SPECS[family].split(":")
+    return getattr(importlib.import_module(mod_name), cls_name)
+
+
+def _flatten(params: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in params.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key + "/"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: dict) -> dict:
+    out: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = v
+    return out
+
+
+def save_family_checkpoint(path: str, family: str, spec, params: dict) -> None:
+    """Checkpoint for the nested-pytree model families (models/resnet.py,
+    models/vit.py). Assignments are bit-packed like the linear format."""
+    if family not in _FAMILY_SPECS:
+        raise ValueError(f"unknown family {family!r}")
+    os.makedirs(path, exist_ok=True)
+    flat = _flatten(params)
+    arrays: dict[str, np.ndarray] = {}
+    tensor_meta: dict[str, dict] = {}
+    for key, arr in flat.items():
+        if key.endswith("/assignments") or key == "assignments":
+            cb_key = key.rsplit("/", 1)[0] + "/codebooks"
+            k = int(flat[cb_key].shape[1])
+            packed, bits = pack_indices(arr, k)
+            arrays[key] = packed
+            tensor_meta[key] = {
+                "packed_bits": bits,
+                "shape": list(arr.shape),
+                "dtype": str(arr.dtype),
+            }
+        else:
+            arrays[key] = arr
+            tensor_meta[key] = {
+                "shape": list(arr.shape), "dtype": str(arr.dtype)
+            }
+    np.savez_compressed(os.path.join(path, "params.npz"), **arrays)
+    with open(os.path.join(path, "spec.json"), "w") as f:
+        json.dump(
+            {"family": family, **dataclasses.asdict(spec)}, f, indent=1
+        )
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(
+            {"format_version": FORMAT_VERSION, "family": family,
+             "tensors": tensor_meta}, f
+        )
+
+
+def load_family_checkpoint(path: str):
+    """-> (family, spec, params)."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    family = manifest["family"]
+    with open(os.path.join(path, "spec.json")) as f:
+        spec_d = json.load(f)
+    spec_d.pop("family")
+    for k, v in spec_d.items():
+        if isinstance(v, list):
+            spec_d[k] = tuple(v)
+    spec = _family_spec_cls(family)(**spec_d)
+    data = np.load(os.path.join(path, "params.npz"))
+    flat = {}
+    for key, meta in manifest["tensors"].items():
+        arr = data[key]
+        if "packed_bits" in meta:
+            arr = unpack_indices(
+                arr, meta["packed_bits"], tuple(meta["shape"])
+            )
+        flat[key] = arr
+    return family, spec, _unflatten(flat)
+
+
 def save_checkpoint(
     path: str, spec: ModelSpec, params: Sequence[Optional[dict]]
 ) -> None:
@@ -133,15 +233,20 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str) -> tuple[ModelSpec, list]:
-    with open(os.path.join(path, "spec.json")) as f:
-        spec = spec_from_dict(json.load(f))
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
+    if "family" in manifest:
+        raise ValueError(
+            f"{path} is a family checkpoint "
+            f"({manifest['family']}); use load_family_checkpoint"
+        )
     if manifest["format_version"] > FORMAT_VERSION:
         raise ValueError(
             f"checkpoint format {manifest['format_version']} is newer than "
             f"supported {FORMAT_VERSION}"
         )
+    with open(os.path.join(path, "spec.json")) as f:
+        spec = spec_from_dict(json.load(f))
     data = np.load(os.path.join(path, "params.npz"))
     params: list = []
     for i, meta in enumerate(manifest["layers"]):

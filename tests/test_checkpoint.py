@@ -1,6 +1,7 @@
 """Native checkpoint format: round-trip and bit-packing tests."""
 
 import numpy as np
+import pytest
 
 from qcnn_tpu.formats.checkpoint import (
     load_checkpoint,
@@ -63,3 +64,62 @@ def test_checkpoint_smaller_than_raw(tmp_path):
     )
     # assignments dominate; 5-7 bit packing should save >= 25 %
     assert npz < raw_asmt * 0.95
+
+
+class TestFamilyCheckpoint:
+    def test_resnet_roundtrip(self, tmp_path):
+        from qcnn_tpu.formats.checkpoint import (
+            load_family_checkpoint, save_family_checkpoint,
+        )
+        from qcnn_tpu.models import resnet
+
+        spec = resnet.ResNetSpec(
+            "rn-ck", (1, 1), (32, 64), num_classes=5, in_size=32,
+            bottleneck=False,
+        )
+        pq = resnet.quantize_params(
+            spec, resnet.init_dense_params(spec, seed=2),
+            conv_codewords=8, fc_codewords=8,
+        )
+        path = str(tmp_path / "fam")
+        save_family_checkpoint(path, "resnet", spec, pq)
+        family, spec2, params2 = load_family_checkpoint(path)
+        assert family == "resnet" and spec2 == spec
+
+        def cmp(a, b):
+            assert set(a) == set(b)
+            for k in a:
+                if isinstance(a[k], dict):
+                    cmp(a[k], b[k])
+                else:
+                    np.testing.assert_array_equal(
+                        np.asarray(a[k]), np.asarray(b[k])
+                    )
+
+        cmp(pq, params2)
+        # forward agrees
+        x = np.random.default_rng(0).standard_normal(
+            (2, 32, 32, 3)
+        ).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(resnet.forward(pq, x, spec=spec)),
+            np.asarray(resnet.forward(params2, x, spec=spec)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_vit_roundtrip_and_linear_guard(self, tmp_path):
+        from qcnn_tpu.formats.checkpoint import (
+            load_checkpoint, load_family_checkpoint, save_family_checkpoint,
+        )
+        from qcnn_tpu.models import vit
+
+        spec = vit.vit_tiny_test()
+        pq = vit.quantize_params(
+            spec, vit.init_dense_params(spec, seed=1), num_codewords=8
+        )
+        path = str(tmp_path / "vfam")
+        save_family_checkpoint(path, "vit", spec, pq)
+        family, spec2, params2 = load_family_checkpoint(path)
+        assert family == "vit" and spec2 == spec
+        with pytest.raises(ValueError, match="family checkpoint"):
+            load_checkpoint(path)
