@@ -38,6 +38,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, nargs="+", default=[18, 21])
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--ec", action="store_true",
+                    help="also compare error-corrected vs plain at K/2")
     args = ap.parse_args()
 
     import jax
@@ -77,6 +79,44 @@ def main():
             f"re-quantize rel err={rel:.4f} in {dt:.1f}s",
             flush=True,
         )
+
+        # Error-corrected vs plain at HALF the codewords (a lossy setting
+        # where the quantizer choice matters) under anisotropic calibration
+        # inputs — the CVPR'16 EC-PQ scenario, on real trained weights.
+        if args.ec and kind == "fc":
+            from qcnn_tpu.quantizer.pq import quantize_error_corrected
+
+            k2 = max(2, k // 2)
+            rng = np.random.default_rng(0)
+            scales = np.geomspace(4.0, 0.25, w.shape[1]).astype(np.float32)
+            xcal = rng.standard_normal((512, w.shape[1])).astype(
+                np.float32
+            ) * scales
+
+            def resp_err(cb, asmt):
+                wh = np.asarray(
+                    decode_fc_weight(np.asarray(cb), np.asarray(asmt), s * d)
+                ).T
+                return float(
+                    np.linalg.norm(xcal @ (wh - w).T)
+                    / np.linalg.norm(xcal @ w.T)
+                )
+
+            plain = quantize_plain(
+                jax.random.key(1), w, num_subspaces=s, num_codewords=k2,
+                iters=args.iters,
+            )
+            ec = quantize_error_corrected(
+                jax.random.key(1), w, xcal, num_subspaces=s,
+                num_codewords=k2, rounds=3,
+            )
+            ep = resp_err(plain.codebooks, plain.assignments)
+            ee = resp_err(ec.codebooks, ec.assignments)
+            print(
+                f"{name}: K={k2} response err plain={ep:.4f} "
+                f"EC={ee:.4f} ({100 * (1 - ee / ep):.1f}% better)",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -278,7 +278,35 @@ def cmd_serve(args) -> int:
     )
     preprocessor = None
     class_names = None
-    if args.model in ("resnet50", "resnet18", "vit_b16", "vit_s16"):
+    if args.checkpoint:
+        import json as _json
+
+        with open(os.path.join(args.checkpoint, "manifest.json")) as f:
+            manifest = _json.load(f)
+        if "family" in manifest:
+            import jax.numpy as jnp
+
+            from qcnn_tpu.formats.checkpoint import load_family_checkpoint
+
+            family, spec, params = load_family_checkpoint(args.checkpoint)
+            fam = __import__(
+                f"qcnn_tpu.models.{family}", fromlist=[family]
+            )
+            prepared = fam.prepare_params(spec, params)
+            size = spec.in_size if family == "resnet" else spec.image_size
+            fwd = functools.partial(
+                fam.forward, spec=spec, compute_dtype=jnp.bfloat16,
+                with_softmax=True,
+            )
+            engine = BatchingEngine.from_forward(
+                fwd, prepared, (size, size, 3), config=config
+            ).start()
+        else:
+            from qcnn_tpu.formats.checkpoint import load_checkpoint
+
+            spec, params = load_checkpoint(args.checkpoint)
+            engine = BatchingEngine(spec, params, config=config).start()
+    elif args.model in ("resnet50", "resnet18", "vit_b16", "vit_s16"):
         # family models: synthetic PQ weights (no pretrained checkpoints
         # ship offline); serves raw preprocessed tensors via X-Shape
         if args.model.startswith("resnet"):
@@ -446,6 +474,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("serve", help="continuous-batching HTTP daemon")
     s.add_argument("--model", default="alexnet")
+    s.add_argument("--checkpoint", default=None,
+                   help="serve a native checkpoint (linear or family) "
+                        "instead of --model")
     s.add_argument("--reference-dir", default="/root/reference")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8000)
