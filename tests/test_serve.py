@@ -171,3 +171,53 @@ def test_engine_from_forward_resnet(rng):
             np.testing.assert_allclose(r.sum(), 1.0, rtol=1e-3)
     finally:
         eng.stop()
+
+
+def test_http_bmp_upload(engine, reference_dir):
+    """BMP body -> preprocessor (native C++ or NumPy) -> engine."""
+    import os
+
+    from qcnn_tpu.preproc.pipeline import MeanType, Preprocessor, ReszType
+
+    bmp = os.path.join(
+        reference_dir, "Bmp.Files", "ILSVRC2012_val_00000001.BMP"
+    )
+    if not os.path.exists(bmp):
+        pytest.skip("no BMP fixture")
+    pre = Preprocessor(
+        full_h=16, full_w=16, crop_h=11, crop_w=11,
+        resz_type=ReszType.STRICT, mean_type=MeanType.CROP,
+        mean_image=np.zeros((16, 16, 3), np.float32),
+    )
+    # engine's tiny model takes 4 channels; wrap preprocessor to pad
+    class PadPre:
+        full_h, full_w, crop_h, crop_w = 16, 16, 11, 11
+
+        def __call__(self, img):
+            out = pre(img)
+            return np.concatenate(
+                [out, np.zeros((*out.shape[:2], 1), np.float32)], -1
+            )
+
+        def process_blobs(self, blobs, require=False):
+            got = pre.process_blobs(blobs, require=require)
+            if got is None:
+                return None
+            pad = np.zeros((*got.shape[:3], 1), np.float32)
+            return np.concatenate([got, pad], -1)
+
+    server = http_serve(
+        engine, host="127.0.0.1", port=0, block=False, preprocessor=PadPre()
+    )
+    port = server.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/classify",
+            data=open(bmp, "rb").read(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert len(out["class_ids"]) == 5
+    finally:
+        server.shutdown()
