@@ -187,7 +187,7 @@ def main() -> None:
     # rather than risk the driver timing out with NO JSON line emitted.
     import os as _os
 
-    budget_s = float(_os.environ.get("QCNN_BENCH_BUDGET_S", "420"))
+    budget_s = float(_os.environ.get("QCNN_BENCH_BUDGET_S", "600"))
     per_step1 = None
     if _time.perf_counter() - t_start < budget_s:
         try:
