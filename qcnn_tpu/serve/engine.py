@@ -177,6 +177,8 @@ class BatchingEngine:
         vector."""
         if image_nhwc.ndim != 3:
             raise ValueError(f"expected HWC image, got {image_nhwc.shape}")
+        if self._stop.is_set():
+            raise RuntimeError("engine is stopped")
         fut: Future = Future()
         self._queue.put((np.asarray(image_nhwc, np.float32), fut))
         return fut

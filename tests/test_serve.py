@@ -221,3 +221,38 @@ def test_http_bmp_upload(engine, reference_dir):
         assert len(out["class_ids"]) == 5
     finally:
         server.shutdown()
+
+
+def test_concurrent_submitters_stress(engine, rng):
+    """Many threads racing submissions; every future resolves correctly."""
+    import threading
+
+    results = {}
+    errors = []
+
+    def worker(i):
+        try:
+            img = rng.standard_normal((11, 11, 4)).astype(np.float32)
+            results[i] = engine.classify(img, timeout=120)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(32)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert not errors
+    assert len(results) == 32
+    for r in results.values():
+        np.testing.assert_allclose(r.sum(), 1.0, rtol=1e-3)
+
+
+def test_submit_after_stop_raises(tiny_spec, rng):
+    eng = BatchingEngine(
+        tiny_spec, synth.random_pq_params(tiny_spec, seed=2),
+        config=EngineConfig(max_batch=2),
+    ).start()
+    eng.stop()
+    with pytest.raises(RuntimeError, match="stopped"):
+        eng.submit(rng.standard_normal((11, 11, 4)).astype(np.float32))
