@@ -119,7 +119,13 @@ def quantize_error_corrected(
     ridge: float = 1e-3,
 ) -> PQResult:
     """Error-corrected PQ: alternate per-sub-space refits against the residual
-    layer response (block coordinate descent on ||X·W − X·Ŵ||²)."""
+    layer response (block coordinate descent on ||X·W − X·Ŵ||²).
+
+    Scalability note: holds the per-sub-space response tensor (S, B, N) in
+    memory — e.g. fc7-sized S=1024, B=512, N=4096 is ~8.6 GB f32, fine on
+    host RAM where calibration runs (CLI --cpu), but would need sub-space
+    chunking to run on-device. Quantization is offline; this is the
+    intended deployment shape."""
     s_cnt, k_cnt = num_subspaces, num_codewords
     w_sub = _split_subvectors(w_units_in, num_subspaces)      # (S, N, D)
     x_sub = _split_subvectors(xcal, num_subspaces)            # (S, B, D)
