@@ -358,6 +358,17 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_route(args) -> int:
+    from qcnn_tpu.serve.router import serve_router
+
+    log(f"routing on http://{args.host}:{args.port} -> {args.backends}")
+    serve_router(
+        args.backends, host=args.host, port=args.port,
+        cooldown_s=args.cooldown_s,
+    )
+    return 0
+
+
 # ---------------------------------------------------------------------------
 # profile — per-layer device times (DispElpsTime, CaffeEva.cc:297-326)
 # ---------------------------------------------------------------------------
@@ -483,6 +494,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--max-batch", type=int, default=64)
     s.add_argument("--max-wait-ms", type=float, default=2.0)
     s.set_defaults(fn=cmd_serve)
+
+    rt = sub.add_parser("route",
+                        help="multi-host router over serve backends")
+    rt.add_argument("backends", nargs="+",
+                    help="backend URLs, e.g. http://host1:8000")
+    rt.add_argument("--host", default="127.0.0.1")
+    rt.add_argument("--port", type=int, default=8080)
+    rt.add_argument("--cooldown-s", type=float, default=5.0)
+    rt.set_defaults(fn=cmd_route)
 
     p = sub.add_parser("profile", help="per-layer device times")
     p.add_argument("--model", default="alexnet",

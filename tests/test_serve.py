@@ -256,3 +256,73 @@ def test_submit_after_stop_raises(tiny_spec, rng):
     eng.stop()
     with pytest.raises(RuntimeError, match="stopped"):
         eng.submit(rng.standard_normal((11, 11, 4)).astype(np.float32))
+
+
+class TestRouter:
+    def test_balances_and_fails_over(self, tiny_spec, rng):
+        from qcnn_tpu.serve.router import serve_router
+
+        # two real engines + one dead backend
+        engines, servers = [], []
+        for seed in (1, 1):
+            eng = BatchingEngine(
+                tiny_spec, synth.random_pq_params(tiny_spec, seed=seed),
+                config=EngineConfig(max_batch=4, max_wait_ms=2.0),
+            ).start()
+            srv = http_serve(eng, host="127.0.0.1", port=0, block=False)
+            engines.append(eng)
+            servers.append(srv)
+        urls = [
+            f"http://127.0.0.1:{s.server_address[1]}" for s in servers
+        ] + ["http://127.0.0.1:1"]  # dead backend
+        router_srv = serve_router(urls, port=0, block=False, cooldown_s=60)
+        rport = router_srv.server_address[1]
+        try:
+            img = rng.standard_normal((11, 11, 4)).astype(np.float32)
+            for _ in range(6):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{rport}/classify",
+                    data=img.tobytes(),
+                    headers={"X-Shape": "11,11,4"},
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    out = json.loads(r.read())
+                assert len(out["class_ids"]) == 5
+            # both live backends served traffic
+            total = sum(e.stats["requests"] for e in engines)
+            assert total == 6
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{rport}/healthz", timeout=10
+            ) as r:
+                health = json.loads(r.read())
+            assert health["ok"] is True
+            ups = [b for b in health["backends"] if b["up"]]
+            assert len(ups) == 2  # dead one quarantined
+        finally:
+            router_srv.shutdown()
+            for s in servers:
+                s.shutdown()
+            for e in engines:
+                e.stop()
+
+    def test_application_errors_pass_through(self, engine):
+        from qcnn_tpu.serve.router import serve_router
+
+        srv = http_serve(engine, host="127.0.0.1", port=0, block=False)
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        router_srv = serve_router([url], port=0, block=False)
+        rport = router_srv.server_address[1]
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{rport}/classify",
+                data=b"junk", headers={"X-Shape": "2,2"}, method="POST",
+            )
+            try:
+                urllib.request.urlopen(req, timeout=30)
+                assert False, "expected 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400  # not converted to 502 failover
+        finally:
+            router_srv.shutdown()
+            srv.shutdown()
