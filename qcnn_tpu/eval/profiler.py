@@ -171,3 +171,37 @@ def format_table(profiles: list[LayerProfile]) -> str:
                      f" ({100*secs/max(total,1e-12):5.1f}%)")
     lines.append(f"TOTAL {total*1e6:10.1f} us (sum of isolated layers)")
     return "\n".join(lines)
+
+
+def profile_segments(
+    segments: "list[tuple[str, callable]]",
+    x,
+    *rest,
+    k1: int = 2,
+    k2: int = 12,
+) -> list[tuple[str, float]]:
+    """Generic chained-segment profiler for non-linear model families:
+    segments[(name, fn)] where fn(x, *rest) -> next x. Each segment is
+    timed on device with its real intermediate input (identity-baseline
+    subtracted), mirroring profile_layers for ModelSpec graphs."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    baselines: dict[tuple, float] = {}
+
+    def baseline(arr) -> float:
+        key = (arr.shape, str(arr.dtype))
+        if key not in baselines:
+            baselines[key] = time_device_fn(
+                lambda v, *_: v, arr, *rest, k1=k1, k2=k2
+            )
+        return baselines[key]
+
+    out = []
+    for name, fn in segments:
+        secs = max(time_device_fn(fn, x, *rest, k1=k1, k2=k2) - baseline(x),
+                   0.0)
+        out.append((name, secs))
+        x = jax.jit(fn)(x, *rest)
+    return out
