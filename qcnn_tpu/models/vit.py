@@ -154,23 +154,23 @@ def forward(
     hd = spec.dim // nh
     for i in range(spec.depth):
         blk = params[f"blk{i}"]
-        # attention
+        # attention — head split via reshape only; the contractions carry
+        # the head axis in-place (explicit (0,2,1,3) transposes measured
+        # +0.11 ms/block at ViT-B batch 64, outputs bit-identical)
         y = _layernorm(x, blk["ln1"])
         qkv = _proj(y, blk["qkv"])  # (B, N, 3D)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def heads(t):
-            return t.reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
-
-        q, k, v = heads(q), heads(k), heads(v)
+        q = q.reshape(b, -1, nh, hd)
+        k = k.reshape(b, -1, nh, hd)
+        v = v.reshape(b, -1, nh, hd)
         att = jnp.einsum(
-            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
         ) / np.sqrt(hd)
         att = jax.nn.softmax(att, axis=-1).astype(v.dtype)
         o = jnp.einsum(
-            "bhnm,bhmd->bhnd", att, v, preferred_element_type=jnp.float32
+            "bhnm,bmhd->bnhd", att, v, preferred_element_type=jnp.float32
         )
-        o = cast(o.transpose(0, 2, 1, 3).reshape(b, -1, spec.dim))
+        o = cast(o.reshape(b, -1, spec.dim))
         x = x + cast(_proj(o, blk["out"]))
         # mlp
         y = _layernorm(x, blk["ln2"])
