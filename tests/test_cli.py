@@ -133,3 +133,41 @@ def test_import_export_roundtrip_bit_exact(tmp_path, reference_dir):
             )
         checked += 1
     assert checked >= 20
+
+
+def test_eval_dataset_branch(tmp_path, reference_dir, capsys):
+    """The full-dataset eval path (dataMatTst/lablVecTst), exercised with a
+    synthetic 8-image set in a fake reference layout — this is the exact
+    flow that runs when the upstream 500 MB blob is present."""
+    import shutil
+
+    from qcnn_tpu.formats import write_bin
+
+    fake = tmp_path / "ref"
+    (fake / "ILSVRC12.227x227.IMG").mkdir(parents=True)
+    (fake / "Cls.Names").mkdir()
+    # reuse real weights + class names
+    shutil.copytree(
+        os.path.join(reference_dir, "AlexNet"), fake / "AlexNet"
+    )
+    shutil.copy(
+        os.path.join(reference_dir, "Cls.Names", "class_names.txt"),
+        fake / "Cls.Names" / "class_names.txt",
+    )
+    shutil.copy(
+        os.path.join(reference_dir, "Cls.Names", "image_labels.txt"),
+        fake / "Cls.Names" / "image_labels.txt",
+    )
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((8, 3, 227, 227)).astype(np.float32)
+    labels = rng.integers(0, 1000, 8).astype(np.uint16)
+    write_bin(str(fake / "ILSVRC12.227x227.IMG" / "dataMatTst.single.bin"),
+              images)
+    write_bin(str(fake / "ILSVRC12.227x227.IMG" / "lablVecTst.uint16.bin"),
+              labels)
+    rc = main(["eval", "--reference-dir", str(fake), "--batch", "4",
+               "--limit", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ACCURACY@1" in out and "ACCURACY@5" in out
+    assert "8 images" in out
