@@ -158,6 +158,34 @@ def cmd_import(args) -> int:
         log(f"[WARN] synthesized assignments for layers "
             f"{res.synthesized_layers}")
     save_checkpoint(args.checkpoint, spec, res.params)
+    # self-contained serving artifact: embed preprocessing + class names
+    # when the reference layout provides them
+    try:
+        from qcnn_tpu.eval.harness import _MODEL_WIRING
+        from qcnn_tpu.formats.checkpoint import save_preprocessor
+
+        key = args.model.lower().replace("-", "_")
+        if key in _MODEL_WIRING:
+            subdir, _, pre_factory = _MODEL_WIRING[key]
+            mean_path = os.path.join(
+                os.path.dirname(args.weights_dir.rstrip("/")),
+                "imagenet_mean.single.bin",
+            )
+            if os.path.exists(mean_path):
+                save_preprocessor(args.checkpoint, pre_factory(mean_path))
+                log("embedded preprocessing config")
+        names_path = os.path.join(
+            os.path.dirname(os.path.dirname(args.weights_dir.rstrip("/"))),
+            "Cls.Names", "class_names.txt",
+        )
+        if os.path.exists(names_path):
+            import shutil
+
+            shutil.copy(names_path,
+                        os.path.join(args.checkpoint, "class_names.txt"))
+            log("embedded class names")
+    except Exception as e:  # noqa: BLE001 - extras are best-effort
+        log(f"[WARN] could not embed preproc/class names: {e}")
     log(f"wrote checkpoint {args.checkpoint}")
     return 0
 
@@ -302,10 +330,18 @@ def cmd_serve(args) -> int:
                 fwd, prepared, (size, size, 3), config=config
             ).start()
         else:
-            from qcnn_tpu.formats.checkpoint import load_checkpoint
+            from qcnn_tpu.formats.checkpoint import (
+                load_checkpoint, load_preprocessor,
+            )
 
             spec, params = load_checkpoint(args.checkpoint)
             engine = BatchingEngine(spec, params, config=config).start()
+            preprocessor = load_preprocessor(args.checkpoint)
+            names_path = os.path.join(args.checkpoint, "class_names.txt")
+            if os.path.exists(names_path):
+                from qcnn_tpu.models.loader import load_class_names
+
+                class_names = load_class_names(names_path)
     elif args.model in ("resnet50", "resnet18", "vit_b16", "vit_s16"):
         # family models: synthetic PQ weights (no pretrained checkpoints
         # ship offline); serves raw preprocessed tensors via X-Shape

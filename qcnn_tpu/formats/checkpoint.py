@@ -193,6 +193,40 @@ def load_family_checkpoint(path: str):
     return family, spec, _unflatten(flat)
 
 
+def save_preprocessor(path: str, pre) -> None:
+    """Embed the preprocessing config (incl. the mean image) so a checkpoint
+    is a self-contained serving artifact — the reference instead wires
+    preprocessing per model in code (CaffeEvaWrapper.cc:54-85) and loads the
+    mean from a side file."""
+    np.save(os.path.join(path, "mean_image.npy"), pre.mean_image)
+    with open(os.path.join(path, "preproc.json"), "w") as f:
+        json.dump({
+            "full_h": pre.full_h, "full_w": pre.full_w,
+            "crop_h": pre.crop_h, "crop_w": pre.crop_w,
+            "resz_type": pre.resz_type.value,
+            "mean_type": pre.mean_type.value,
+        }, f)
+
+
+def load_preprocessor(path: str):
+    """-> Preprocessor or None when the checkpoint carries no preproc."""
+    cfg_path = os.path.join(path, "preproc.json")
+    if not os.path.exists(cfg_path):
+        return None
+    from qcnn_tpu.preproc.pipeline import MeanType, Preprocessor, ReszType
+
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    mean = np.load(os.path.join(path, "mean_image.npy"))
+    return Preprocessor(
+        full_h=cfg["full_h"], full_w=cfg["full_w"],
+        crop_h=cfg["crop_h"], crop_w=cfg["crop_w"],
+        resz_type=ReszType(cfg["resz_type"]),
+        mean_type=MeanType(cfg["mean_type"]),
+        mean_image=mean.astype(np.float32),
+    )
+
+
 def save_checkpoint(
     path: str, spec: ModelSpec, params: Sequence[Optional[dict]]
 ) -> None:

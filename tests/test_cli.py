@@ -171,3 +171,50 @@ def test_eval_dataset_branch(tmp_path, reference_dir, capsys):
     out = capsys.readouterr().out
     assert "ACCURACY@1" in out and "ACCURACY@5" in out
     assert "8 images" in out
+
+
+def test_import_embeds_preproc_and_serve_uses_it(tmp_path, reference_dir):
+    """import -> self-contained checkpoint -> engine+HTTP classify a BMP."""
+    import json as _json
+    import urllib.request
+
+    from qcnn_tpu.formats.checkpoint import (
+        load_checkpoint, load_preprocessor,
+    )
+    from qcnn_tpu.models.loader import load_class_names
+    from qcnn_tpu.serve.engine import BatchingEngine, EngineConfig
+    from qcnn_tpu.serve.http import serve as http_serve
+
+    ckpt = str(tmp_path / "sc")
+    assert main([
+        "import", ckpt,
+        "--weights-dir", os.path.join(reference_dir, "AlexNet", "Bin.Files"),
+        "--prefix", "bvlc_alexnet_aCaF", "--synthesize-missing",
+    ]) == 0
+    pre = load_preprocessor(ckpt)
+    assert pre is not None and pre.crop_h == 227
+    names = load_class_names(os.path.join(ckpt, "class_names.txt"))
+    assert len(names) == 1000
+
+    spec, params = load_checkpoint(ckpt)
+    eng = BatchingEngine(
+        spec, params, config=EngineConfig(max_batch=2, max_wait_ms=2.0)
+    ).start()
+    srv = http_serve(eng, host="127.0.0.1", port=0, block=False,
+                     preprocessor=pre, class_names=names)
+    port = srv.server_address[1]
+    try:
+        bmp = os.path.join(
+            reference_dir, "Bmp.Files", "ILSVRC2012_val_00000001.BMP"
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/classify",
+            data=open(bmp, "rb").read(), method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = _json.loads(r.read())
+        assert len(out["class_names"]) == 5
+        assert all(isinstance(n, str) and n for n in out["class_names"])
+    finally:
+        srv.shutdown()
+        eng.stop()
