@@ -24,17 +24,20 @@ def log(*a):
 def cmd_classify(args) -> int:
     from qcnn_tpu.eval.harness import Classifier
 
-    clf = Classifier.from_reference(
-        args.model,
-        args.reference_dir,
-        class_names_path=os.path.join(
-            args.reference_dir, "Cls.Names", "class_names.txt"
-        ),
-        image_labels_path=os.path.join(
-            args.reference_dir, "Cls.Names", "image_labels.txt"
-        ),
-    )
-    if clf.load_result.synthesized_layers:
+    if args.checkpoint:
+        clf = Classifier.from_checkpoint(args.checkpoint)
+    else:
+        clf = Classifier.from_reference(
+            args.model,
+            args.reference_dir,
+            class_names_path=os.path.join(
+                args.reference_dir, "Cls.Names", "class_names.txt"
+            ),
+            image_labels_path=os.path.join(
+                args.reference_dir, "Cls.Names", "image_labels.txt"
+            ),
+        )
+    if getattr(clf, "load_result", None) and clf.load_result.synthesized_layers:
         log(f"[WARN] layers {clf.load_result.synthesized_layers} use "
             "synthesized assignments (upstream blob missing); predictions "
             "from those layers are not meaningful")
@@ -464,6 +467,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("images", nargs="+")
     c.add_argument("--model", default="alexnet")
     c.add_argument("--reference-dir", default="/root/reference")
+    c.add_argument("--checkpoint", default=None,
+                   help="classify with a self-contained native checkpoint")
     c.add_argument("--top-k", type=int, default=5)
     c.set_defaults(fn=cmd_classify)
 

@@ -128,6 +128,28 @@ class Classifier:
         clf.load_result = res
         return clf
 
+    @classmethod
+    def from_checkpoint(cls, path: str, **kwargs) -> "Classifier":
+        """Build from a self-contained native checkpoint (params + embedded
+        preprocessing + class names, written by the import CLI)."""
+        from qcnn_tpu.formats.checkpoint import (
+            load_checkpoint, load_preprocessor,
+        )
+
+        spec, params = load_checkpoint(path)
+        pre = load_preprocessor(path)
+        if pre is None:
+            raise ValueError(
+                f"{path} carries no preprocessing config; re-import with "
+                "the reference layout or construct Classifier directly"
+            )
+        names_path = os.path.join(path, "class_names.txt")
+        names = (
+            load_class_names(names_path) if os.path.exists(names_path)
+            else None
+        )
+        return cls(spec, params, pre, names, **kwargs)
+
     def _result(self, probs, bmp_path, top_k, elapsed) -> ClassifyResult:
         idx = np.argsort(-probs)[:top_k]
         names = [

@@ -218,3 +218,18 @@ def test_import_embeds_preproc_and_serve_uses_it(tmp_path, reference_dir):
     finally:
         srv.shutdown()
         eng.stop()
+
+
+def test_classify_from_checkpoint(tmp_path, reference_dir, capsys):
+    ckpt = str(tmp_path / "cc")
+    assert main([
+        "import", ckpt,
+        "--weights-dir", os.path.join(reference_dir, "AlexNet", "Bin.Files"),
+        "--prefix", "bvlc_alexnet_aCaF", "--synthesize-missing",
+    ]) == 0
+    bmp = os.path.join(
+        reference_dir, "Bmp.Files", "ILSVRC2012_val_00000002.BMP"
+    )
+    assert main(["classify", bmp, "--checkpoint", ckpt]) == 0
+    out = capsys.readouterr().out
+    assert "ILSVRC2012_val_00000002" in out
