@@ -220,6 +220,12 @@ def prepare_params(spec: ResNetSpec, params: dict, dtype=jnp.bfloat16) -> dict:
         _decode_conv_kernel_np, _decode_fc_weight_np,
     )
 
+    if dtype in (jnp.int8, np.int8, "int8"):
+        raise NotImplementedError(
+            "int8 execution is wired for the linear ModelSpec path "
+            "(models/prepare.py); a bare astype here would silently drop "
+            "the scales"
+        )
     np_dtype = (
         ml_dtypes.bfloat16 if dtype in (jnp.bfloat16, "bfloat16") else dtype
     )

@@ -226,6 +226,12 @@ def prepare_params(spec: ViTSpec, params: dict, dtype=jnp.bfloat16) -> dict:
 
     from qcnn_tpu.models.prepare import _decode_fc_weight_np
 
+    if dtype in (jnp.int8, np.int8, "int8"):
+        raise NotImplementedError(
+            "int8 execution is wired for the linear ModelSpec path "
+            "(models/prepare.py); a bare astype here would silently drop "
+            "the scales"
+        )
     np_dtype = (
         ml_dtypes.bfloat16 if dtype in (jnp.bfloat16, "bfloat16") else dtype
     )
