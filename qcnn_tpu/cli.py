@@ -221,29 +221,43 @@ def cmd_quantize(args) -> int:
     from qcnn_tpu.quantizer.pq import quantize_conv_layer, quantize_fc_layer
 
     spec, params = load_checkpoint(args.checkpoint)
+    # per-layer overrides: the reference's codebook geometry varies per layer
+    # (SURVEY.md §2a: fc8 uses scalar sub-spaces with 16 codewords while
+    # fc6/fc7 use 4-wide/32); --layer-config exposes that as JSON, e.g.
+    # '{"21": {"subvec_len": 1, "codewords": 16}}' (keys = layer indices)
+    overrides = {}
+    if args.layer_config:
+        import json as _json
+
+        overrides = {
+            int(k): v for k, v in _json.loads(args.layer_config).items()
+        }
     out_params = []
     key = jax.random.key(args.seed)
     for i, (layer, p) in enumerate(zip(spec.layers, params)):
         if p is None or is_pq(p):
             out_params.append(p)
             continue
+        ov = overrides.get(i, {})
         key, sub = jax.random.split(key)
         if isinstance(layer, ConvSpec) and "kernel" in p:
             # checkpoint stores HWIO; the quantizer takes the reference's
             # OIHW convKnl layout
             kernel = np.transpose(np.asarray(p["kernel"]), (3, 2, 0, 1))
             cg = kernel.shape[1]
+            d = ov.get("subvec_len", args.conv_subvec_len)
             q = quantize_conv_layer(
                 sub, kernel, p["bias"],
-                num_subspaces=-(-cg // args.conv_subvec_len),
-                num_codewords=args.conv_codewords,
+                num_subspaces=-(-cg // d),
+                num_codewords=ov.get("codewords", args.conv_codewords),
             )
         elif isinstance(layer, FCSpec) and "weight" in p:
             weight = np.asarray(p["weight"]).T  # (Cin,Cout) -> (Cout,Cin)
+            d = ov.get("subvec_len", args.fc_subvec_len)
             q = quantize_fc_layer(
                 sub, weight, p["bias"],
-                num_subspaces=-(-weight.shape[1] // args.fc_subvec_len),
-                num_codewords=args.fc_codewords,
+                num_subspaces=-(-weight.shape[1] // d),
+                num_codewords=ov.get("codewords", args.fc_codewords),
             )
         else:
             out_params.append(p)
@@ -508,6 +522,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--fc-subvec-len", type=int, default=4)
     q.add_argument("--fc-codewords", type=int, default=32)
     q.add_argument("--seed", type=int, default=0)
+    q.add_argument("--layer-config", default=None,
+                   help='per-layer JSON overrides, e.g. '
+                        '\'{"21": {"subvec_len": 1, "codewords": 16}}\'')
     q.add_argument("--cpu", action="store_true",
                    help="run the quantizer on the host CPU")
     q.set_defaults(fn=cmd_quantize)

@@ -233,3 +233,28 @@ def test_classify_from_checkpoint(tmp_path, reference_dir, capsys):
     assert main(["classify", bmp, "--checkpoint", ckpt]) == 0
     out = capsys.readouterr().out
     assert "ILSVRC2012_val_00000002" in out
+
+
+def test_quantize_layer_config_override(tmp_path):
+    from qcnn_tpu.core import FCSpec, ModelSpec, ReLUSpec, SoftmaxSpec
+    from qcnn_tpu.models import synth
+
+    spec = ModelSpec(
+        name="t2", in_height=4, in_width=4, in_channels=2,
+        layers=(FCSpec(24), ReLUSpec(), FCSpec(12), SoftmaxSpec()),
+    )
+    dense = synth.random_dense_params(spec, seed=7)
+    src = str(tmp_path / "d")
+    dst = str(tmp_path / "q")
+    save_checkpoint(src, spec, dense)
+    rc = main([
+        "quantize", src, dst,
+        "--fc-subvec-len", "4", "--fc-codewords", "8",
+        "--layer-config", '{"2": {"subvec_len": 1, "codewords": 4}}',
+    ])
+    assert rc == 0
+    _, params = load_checkpoint(dst)
+    s0, k0, d0 = params[0]["codebooks"].shape
+    s2, k2, d2 = params[2]["codebooks"].shape
+    assert (d0, k0) == (4, 8)      # global config
+    assert (d2, k2) == (1, 4)      # per-layer override (fc8-style scalar)
