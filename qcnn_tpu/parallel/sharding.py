@@ -92,6 +92,22 @@ def shard_params(
     return out
 
 
+def make_dp_forward(forward_fn, mesh: Mesh):
+    """Data-parallel wrapper for an arbitrary forward(params, x_nhwc):
+    batch sharded over `data`, params replicated. Works for the nested-
+    pytree families (ResNet/ViT) whose tensors have no ModelSpec layout;
+    GSPMD replicates them on first use."""
+
+    def fwd(params, x):
+        x = jax.lax.with_sharding_constraint(x, batch_sharding(mesh, x.ndim))
+        out = forward_fn(params, x)
+        return jax.lax.with_sharding_constraint(
+            out, NamedSharding(mesh, P(DATA_AXIS, None))
+        )
+
+    return jax.jit(fwd)
+
+
 def make_sharded_forward(
     spec: ModelSpec,
     mesh: Mesh,

@@ -69,10 +69,11 @@ class BatchingEngine:
         input_shape: tuple[int, int, int],
         *,
         config: EngineConfig = EngineConfig(),
+        mesh=None,
     ) -> "BatchingEngine":
         """Engine over an arbitrary jit-able forward(params, x_nhwc) — e.g.
         the ResNet/ViT families, whose params are nested pytrees rather than
-        the linear ModelSpec list."""
+        the linear ModelSpec list. With a mesh, batches shard over `data`."""
         import jax
 
         self = cls.__new__(cls)
@@ -80,7 +81,12 @@ class BatchingEngine:
         self.config = config
         self._buckets = config.bucket_ladder()
         self.params = jax.device_put(params)
-        self._fwd = jax.jit(forward_fn)
+        if mesh is not None:
+            from qcnn_tpu.parallel.sharding import make_dp_forward
+
+            self._fwd = make_dp_forward(forward_fn, mesh)
+        else:
+            self._fwd = jax.jit(forward_fn)
         self._init_runtime()
         return self
 

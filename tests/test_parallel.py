@@ -145,3 +145,28 @@ class TestShardMapOps:
         got = np.asarray(fn(x, p["codebooks"], p["assignments"], p["bias"]))
         want = np.asarray(pq_fc(x, p, impl="gather"))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_dp_forward_resnet_family(rng):
+    """Generic DP wrapper over the ResNet family on the virtual mesh."""
+    import functools
+
+    from qcnn_tpu.models import resnet
+    from qcnn_tpu.parallel.mesh import make_mesh
+    from qcnn_tpu.parallel.sharding import make_dp_forward
+
+    spec = resnet.ResNetSpec(
+        "rn-dp", (1,), (32,), num_classes=6, in_size=16, bottleneck=False
+    )
+    pq = resnet.quantize_params(
+        spec, resnet.init_dense_params(spec, seed=3),
+        conv_codewords=8, fc_codewords=8,
+    )
+    prepared = resnet.prepare_params(spec, pq, dtype=np.float32)
+    fwd = functools.partial(resnet.forward, spec=spec)
+    mesh = make_mesh(jax.devices(), dp=8, tp=1)
+    dp_fwd = make_dp_forward(fwd, mesh)
+    x = rng.standard_normal((16, 16, 16, 3)).astype(np.float32)
+    got = np.asarray(dp_fwd(prepared, x))
+    want = np.asarray(resnet.forward(prepared, x, spec=spec))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
