@@ -76,3 +76,28 @@ class TestClassifier:
         # fc6 is synthesized → accuracy must be reported as non-authentic
         assert classifier.load_result.synthesized_layers == [15]
         assert not classifier.load_result.is_authentic
+
+
+def test_classifier_int8_mode(reference_dir):
+    """Classifier with compute_dtype=int8: weights quantize per-channel,
+    activations ride bf16, predictions still produced."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qcnn_tpu.eval.harness import Classifier
+
+    clf = Classifier.from_reference(
+        "alexnet", reference_dir, compute_dtype=jnp.int8,
+    )
+    assert any(
+        p is not None and ("weight_q" in p or "kernel_q" in p)
+        for p in clf.params
+    )
+    bmp = os.path.join(
+        reference_dir, "Bmp.Files", "ILSVRC2012_val_00000001.BMP"
+    )
+    res = clf.classify(bmp)
+    assert len(res.class_ids) == 5
+    assert np.isfinite(res.probs).all()
