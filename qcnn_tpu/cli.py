@@ -75,16 +75,26 @@ def cmd_eval(args) -> int:
 
     from qcnn_tpu.eval.harness import Classifier, accuracy_at_k
 
-    clf = Classifier.from_reference(
-        args.model,
-        args.reference_dir,
-        class_names_path=os.path.join(
-            args.reference_dir, "Cls.Names", "class_names.txt"
-        ),
-        image_labels_path=os.path.join(
+    if args.checkpoint:
+        from qcnn_tpu.models.loader import load_image_labels
+
+        clf = Classifier.from_checkpoint(args.checkpoint)
+        labels_path = os.path.join(
             args.reference_dir, "Cls.Names", "image_labels.txt"
-        ),
-    )
+        )
+        if os.path.exists(labels_path):
+            clf.image_labels = load_image_labels(labels_path)
+    else:
+        clf = Classifier.from_reference(
+            args.model,
+            args.reference_dir,
+            class_names_path=os.path.join(
+                args.reference_dir, "Cls.Names", "class_names.txt"
+            ),
+            image_labels_path=os.path.join(
+                args.reference_dir, "Cls.Names", "image_labels.txt"
+            ),
+        )
     data_path = os.path.join(
         args.reference_dir, "ILSVRC12.227x227.IMG", "dataMatTst.single.bin"
     )
@@ -489,6 +499,8 @@ def build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("eval", help="dataset accuracy")
     e.add_argument("--model", default="alexnet")
     e.add_argument("--reference-dir", default="/root/reference")
+    e.add_argument("--checkpoint", default=None,
+                   help="evaluate a self-contained native checkpoint")
     e.add_argument("--batch", type=int, default=64)
     e.add_argument("--limit", type=int, default=1000)
     e.set_defaults(fn=cmd_eval)

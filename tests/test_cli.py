@@ -258,3 +258,17 @@ def test_quantize_layer_config_override(tmp_path):
     s2, k2, d2 = params[2]["codebooks"].shape
     assert (d0, k0) == (4, 8)      # global config
     assert (d2, k2) == (1, 4)      # per-layer override (fc8-style scalar)
+
+
+def test_eval_from_checkpoint(tmp_path, reference_dir, capsys):
+    ckpt = str(tmp_path / "ec")
+    assert main([
+        "import", ckpt,
+        "--weights-dir", os.path.join(reference_dir, "AlexNet", "Bin.Files"),
+        "--prefix", "bvlc_alexnet_aCaF", "--synthesize-missing",
+    ]) == 0
+    rc = main(["eval", "--checkpoint", ckpt,
+               "--reference-dir", reference_dir, "--limit", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ACCURACY@1" in out
