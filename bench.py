@@ -73,6 +73,16 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int):
 
     from qcnn_tpu.utils.devtime import time_device_fn
 
+    import jax.numpy as _jnp
+
+    if model not in ("vgg16", "vgg_cnn_s", "caffenet") and dtype in (
+        _jnp.int8, "int8"
+    ):
+        # fail BEFORE the minutes-long family quantization, not after
+        raise NotImplementedError(
+            "int8 execution is wired for the linear ModelSpec path; "
+            f"--model {model} supports bfloat16/float32"
+        )
     rng = np.random.default_rng(1)
     if model in ("vgg16", "vgg_cnn_s", "caffenet"):
         import jax.numpy as jnp
@@ -144,9 +154,13 @@ def main() -> None:
     dtype_arg = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
                  "int8": jnp.int8}[args.dtype]
     if args.model != "alexnet":
-        per_step, spec = bench_family(
-            args.model, args.batch, dtype_arg, args.k1, args.k2
-        )
+        try:
+            per_step, spec = bench_family(
+                args.model, args.batch, dtype_arg, args.k1, args.k2
+            )
+        except NotImplementedError as e:
+            log(f"error: {e}")
+            raise SystemExit(2)
         imgs_per_sec = args.batch / per_step
         log(f"{args.model} batch={args.batch}: {per_step*1e3:.3f} ms/step")
         print(json.dumps({
