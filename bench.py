@@ -99,11 +99,15 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int):
         x = rng.standard_normal(
             (batch, spec.in_height, spec.in_width, spec.in_channels)
         ).astype(np.float32)
+        # int8 applies to weights only; activations must stay bf16 between
+        # layers (passing int8 as compute_dtype astype-truncates activations
+        # and degenerates the program -- same rule as the alexnet path below)
+        act_dtype = jnp.bfloat16 if dtype in (jnp.int8, "int8") else dtype
 
         def step(x, params):
             return network.forward(
                 params, x, spec=spec, conv_impls=ci, fc_impls=fi,
-                compute_dtype=dtype,
+                compute_dtype=act_dtype,
             )
 
         return time_device_fn(step, x, prepared, k1=k1, k2=k2), spec

@@ -10,8 +10,10 @@ step:
   layout change, trading HBM capacity (the dense copy) for speed-of-light MXU
   execution. fc6 f32 dense is 151 MB; bf16 halves the per-step weight stream.
 - ``lut``/``onehot``/``pallas`` layers: keep codebooks+assignments (the 21x
-  smaller representation) and only cast/transpose: codebooks to the compute
-  dtype, assignments pre-transposed to (S, Cout) for the Pallas kernel.
+  smaller representation) and only cast: codebooks to the compute dtype,
+  assignments unchanged in the reference (Cout, S) layout — each kernel
+  transposes to its preferred layout inside its own jit (a no-op-fusable
+  relayout, measured immaterial vs the LUT build).
 
 The returned params list feeds models.network.forward unchanged: decoded
 layers look like dense layers, PQ layers keep their PQ dict.

@@ -88,7 +88,12 @@ def init_dense_params(spec: ResNetSpec, seed: int = 0) -> dict:
             else:
                 block["conv1"] = _conv_param(rng, 3, 3, cin, mid)
                 block["conv2"] = _conv_param(rng, 3, 3, mid, cout)
-            if cin != cout or b == 0:
+            # Canonical ResNet-v1.5: projection shortcut only when shape
+            # changes (channels or stride; every stride-2 block here also
+            # changes channels, so cin != cout covers both). Stage-0
+            # block-0 of ResNet-18 keeps the identity shortcut, so
+            # pretrained checkpoints map 1:1.
+            if cin != cout:
                 block["proj"] = _conv_param(rng, 1, 1, cin, cout)
             params[key] = block
             cin = cout

@@ -64,9 +64,16 @@ bool decode_bmp(const uint8_t* buf, int64_t len, Image* out) {
   uint32_t compression = rd_u32(buf + 30);
   if (bpp != 24 || compression != 0 || width <= 0) return false;
   bool top_down = height < 0;
+  // Untrusted input (the HTTP /classify path feeds raw uploads here):
+  // reject implausible dimensions up front so all later size arithmetic
+  // stays far from int64 overflow, and phrase the length check as a
+  // division so attacker-controlled width*height cannot wrap it.
+  if (height == INT32_MIN) return false;
   height = std::abs(height);
+  if (height == 0 || width > (1 << 16) || height > (1 << 16)) return false;
   int64_t row_bytes = (static_cast<int64_t>(width) * 3 + 3) & ~int64_t{3};
-  if (static_cast<int64_t>(pixel_offset) + row_bytes * height > len)
+  int64_t off = static_cast<int64_t>(pixel_offset);
+  if (off < 54 || off > len || row_bytes > (len - off) / height)
     return false;
   out->h = height;
   out->w = width;
@@ -191,24 +198,32 @@ int qcnn_preproc_batch(const uint8_t** buffers, const int64_t* lengths,
   auto worker = [&]() {
     for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
       float* dst = out + out_stride * i;
-      Image img;
-      if (!decode_bmp(buffers[i], lengths[i], &img)) {
+      // An exception escaping a std::thread body calls std::terminate;
+      // treat any failure (incl. bad_alloc on hostile dimensions) as a
+      // per-image decode failure instead.
+      try {
+        Image img;
+        if (!decode_bmp(buffers[i], lengths[i], &img)) {
+          std::memset(dst, 0, out_stride * sizeof(float));
+          failures.fetch_add(1);
+          continue;
+        }
+        Image resized = resize_bilinear(img, full_h, full_w, relaxed != 0);
+        bool full_order = mean_full != 0;
+        if (full_order &&
+            (resized.h != mean_h || resized.w != mean_w)) {
+          // FULL order requires exact-size mean (pipeline.py raises here);
+          // treat as failure rather than silently misalign.
+          std::memset(dst, 0, out_stride * sizeof(float));
+          failures.fetch_add(1);
+          continue;
+        }
+        center_crop_into(resized, crop_h, crop_w, mean, mean_h, mean_w,
+                         full_order, dst);
+      } catch (...) {
         std::memset(dst, 0, out_stride * sizeof(float));
         failures.fetch_add(1);
-        continue;
       }
-      Image resized = resize_bilinear(img, full_h, full_w, relaxed != 0);
-      bool full_order = mean_full != 0;
-      if (full_order &&
-          (resized.h != mean_h || resized.w != mean_w)) {
-        // FULL order requires exact-size mean (pipeline.py raises here);
-        // treat as failure rather than silently misalign.
-        std::memset(dst, 0, out_stride * sizeof(float));
-        failures.fetch_add(1);
-        continue;
-      }
-      center_crop_into(resized, crop_h, crop_w, mean, mean_h, mean_w,
-                       full_order, dst);
     }
   };
 

@@ -169,6 +169,15 @@ class BatchingEngine:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=10)
+        # Requests enqueued just before stop would otherwise hang their
+        # callers until the full classify() timeout.
+        while True:
+            try:
+                _, fut = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("engine stopped"))
 
     def __enter__(self):
         return self.start()

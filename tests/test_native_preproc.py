@@ -67,6 +67,43 @@ def test_bad_blob_counts_as_failure(native_lib, rng):
     assert np.all(out == 0)
 
 
+def _bmp_with_dims(width: int, height: int, payload: bytes = b"") -> bytes:
+    """Minimal BMP header with attacker-controlled dimension fields."""
+    import struct
+
+    header = bytearray(54)
+    header[0:2] = b"BM"
+    struct.pack_into("<I", header, 10, 54)       # pixel offset
+    struct.pack_into("<I", header, 14, 40)       # BITMAPINFOHEADER size
+    struct.pack_into("<i", header, 18, width)
+    struct.pack_into("<i", header, 22, height)
+    struct.pack_into("<H", header, 28, 24)       # bpp
+    struct.pack_into("<I", header, 30, 0)        # BI_RGB
+    return bytes(header) + payload
+
+
+def test_hostile_dimensions_rejected(native_lib):
+    """Dimension fields that would overflow the int64 bounds check (or
+    allocate absurd buffers) must count as decode failures, not crash the
+    worker thread or read out of bounds (ADVICE.md round-1, imgproc.cc)."""
+    mean = np.zeros((256, 256, 3), np.float32)
+    hostile = [
+        _bmp_with_dims(2**31 - 1, 2**31 - 1),    # row_bytes*height overflows
+        _bmp_with_dims(2**31 - 1, -(2**31)),     # abs(INT32_MIN) is UB
+        _bmp_with_dims(1 << 20, 4),              # too wide, plausible total
+        _bmp_with_dims(4, 1 << 20),              # too tall
+        _bmp_with_dims(16, 0),                   # zero height
+        _bmp_with_dims(100, 100, b"\0" * 64),    # sane dims, truncated data
+    ]
+    out, failures = native.preproc_batch(
+        hostile,
+        full_h=256, full_w=256, crop_h=227, crop_w=227,
+        relaxed=False, mean_hwc=mean, mean_full=True,
+    )
+    assert failures == len(hostile)
+    assert np.all(out == 0)
+
+
 def test_native_is_faster_batch(bmps, native_lib, rng):
     """Sanity: threaded C++ beats the NumPy loop on a real batch (not a
     strict perf assertion — just catches accidental pessimization)."""

@@ -258,6 +258,21 @@ def test_submit_after_stop_raises(tiny_spec, rng):
         eng.submit(rng.standard_normal((11, 11, 4)).astype(np.float32))
 
 
+def test_stop_drains_pending_futures(tiny_spec, rng):
+    """Requests still queued when stop() lands must fail fast, not hang
+    their callers until the classify() timeout (ADVICE.md round-1)."""
+    eng = BatchingEngine(
+        tiny_spec, synth.random_pq_params(tiny_spec, seed=2),
+        config=EngineConfig(max_batch=2),
+    )
+    # never started: the dispatcher can't pick the request up, simulating
+    # enqueue-just-before-stop
+    fut = eng.submit(rng.standard_normal((11, 11, 4)).astype(np.float32))
+    eng.stop()
+    with pytest.raises(RuntimeError, match="stopped"):
+        fut.result(timeout=5)
+
+
 class TestRouter:
     def test_balances_and_fails_over(self, tiny_spec, rng):
         from qcnn_tpu.serve.router import serve_router
