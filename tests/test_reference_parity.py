@@ -1,0 +1,126 @@
+"""Cross-engine parity: our engine vs the COMPILED reference C++ binary.
+
+Round-1 verdict's top item: every numerical oracle used to be a self-written
+jnp re-derivation of the C++; these tests instead build the reference engine
+itself (Makefile.native-equivalent, naive BLAS fallbacks) and assert
+agreement on its own output distributions for the 10 shipped BMPs.
+
+Two complementary runs:
+
+1. Shipped weights (real codebooks + real .cbn assignments; the missing fc6
+   assignment blob is injected identically into both engines). The synthetic
+   fc6 drives fc7 fully negative -> ReLU-dead -> the final distribution is
+   input-independent, but the run still pins down .cbn decode, codebook
+   layout, fc8 gather and softmax numerics against the real artifacts.
+2. Fully-synthetic calibrated PQ AlexNet (every layer alive and
+   input-dependent; see synthesize_live_pq_params): agreement here is
+   sensitive to the whole 23-layer stack — conv/pool/LRN semantics,
+   grouped conv, first-FC flatten order, preprocessing.
+
+Observed deltas are recorded in docs/KERNEL_STUDIES.md §"Cross-engine
+parity".
+"""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from qcnn_tpu.eval import reference_engine as refeng
+
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None or not refeng.available(),
+    reason="g++ or reference checkout unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def bmps(reference_dir):
+    paths = sorted(
+        glob.glob(os.path.join(reference_dir, "Bmp.Files", "*.BMP"))
+    )
+    if not paths:
+        pytest.skip("no BMP fixtures")
+    return paths
+
+
+def _probs_matrix(results, num_classes=1000):
+    """(N, C) dense probability matrix from sorted (ids, probs) results."""
+    out = np.zeros((len(results), num_classes), np.float64)
+    for i, r in enumerate(results):
+        out[i, r.class_ids] = r.probs
+    return out
+
+
+def test_shipped_weights_parity(bmps):
+    """Reference binary vs our Classifier on the shipped AlexNet artifacts
+    (identical synthesized fc6 assignments injected into both)."""
+    import jax.numpy as jnp
+
+    from qcnn_tpu.eval.harness import Classifier
+
+    ref = refeng.run_reference(bmps, top_k=1000)
+
+    clf = Classifier.from_reference(
+        "alexnet", "/root/reference", compute_dtype=jnp.float32
+    )
+    assert clf.load_result.synthesized_layers == [15]
+    ours = clf.classify_batch(bmps, top_k=1000)
+
+    ref_probs = _probs_matrix(ref)
+    our_probs = np.zeros_like(ref_probs)
+    for i, r in enumerate(ours):
+        our_probs[i, r.class_ids] = r.probs
+
+    max_delta = np.abs(ref_probs - our_probs).max()
+    print(f"shipped-weights parity: max prob delta {max_delta:.3g}")
+    np.testing.assert_allclose(our_probs, ref_probs, atol=1e-4, rtol=1e-3)
+    for i in range(len(bmps)):
+        assert list(ref[i].class_ids[:5]) == ours[i].class_ids[:5], (
+            f"top-5 mismatch on {os.path.basename(bmps[i])}"
+        )
+
+
+def test_synthetic_model_parity_full_stack(bmps):
+    """Both engines run an identical fully-synthetic calibrated PQ AlexNet:
+    every layer alive and input-dependent, so agreement here covers the
+    whole conv stack + preprocessing, not just the FC tail."""
+    import jax.numpy as jnp
+
+    from qcnn_tpu.eval.harness import Classifier
+    from qcnn_tpu.models import zoo
+    from qcnn_tpu.preproc.pipeline import Preprocessor
+
+    spec = zoo.alexnet()
+    pre = Preprocessor.alexnet(
+        "/root/reference/AlexNet/imagenet_mean.single.bin"
+    )
+    calib = pre.load(bmps[0])
+    params = refeng.synthesize_live_pq_params(spec, calib, seed=7)
+
+    data_dir = refeng.prepare_synth_data_dir(spec, params, "data_synth")
+    ref = refeng.run_reference(bmps, top_k=1000, data_dir=data_dir)
+
+    clf = Classifier(spec, params, pre, compute_dtype=jnp.float32)
+    ours = clf.classify_batch(bmps, top_k=1000)
+
+    ref_probs = _probs_matrix(ref)
+    our_probs = np.zeros_like(ref_probs)
+    for i, r in enumerate(ours):
+        our_probs[i, r.class_ids] = r.probs
+
+    # sensitivity guard: the run must actually be input-dependent, else a
+    # conv-stack bug could hide behind a constant distribution
+    assert np.abs(ref_probs[0] - ref_probs[1]).max() > 1e-4
+    assert np.abs(our_probs[0] - our_probs[1]).max() > 1e-4
+
+    max_delta = np.abs(ref_probs - our_probs).max()
+    print(f"synthetic full-stack parity: max prob delta {max_delta:.3g}")
+    np.testing.assert_allclose(our_probs, ref_probs, atol=1e-4, rtol=1e-2)
+    for i in range(len(bmps)):
+        assert ref[i].class_ids[0] == ours[i].class_ids[0], (
+            f"top-1 mismatch on {os.path.basename(bmps[i])}"
+        )
