@@ -97,4 +97,8 @@ def pq_fc(x: jax.Array, params: dict, impl: str = "onehot") -> jax.Array:
         from qcnn_tpu.ops.pallas import pq_fc_pallas
 
         return pq_fc_pallas(x, params)
+    if impl == "fused":
+        from qcnn_tpu.ops.pallas import pq_fc_fused
+
+        return pq_fc_fused(x, params)
     raise ValueError(f"unknown pq_fc impl: {impl}")

@@ -91,6 +91,85 @@ def column_parallel_pq_fc(mesh: Mesh, *, impl: str = "onehot"):
     )
 
 
+def row_parallel_pq_fc_overlapped(mesh: Mesh):
+    """Row-parallel PQ FC with the collective PIPELINED against compute
+    (BASELINE north star: "all-gathers of per-subspace LUTs overlapped with
+    the gather-accumulate compute").
+
+    The plain row-parallel form computes the FULL local partial and then
+    blocks on one psum — the collective is fully exposed. Here the output
+    axis is split into tp chunks and the reduction runs as a ring
+    reduce-scatter interleaved with compute: at step t, device i
+
+      1. starts forwarding the in-flight chunk to its ring neighbour
+         (ppermute), and
+      2. gather-accumulates its OWN contribution to the chunk arriving next
+         (one-hot einsum over this device's sub-spaces, LUT built once),
+
+    then adds (1)'s payload to (2). The ppermute payload is never needed by
+    the chunk compute, so XLA overlaps transfer with compute; per step only
+    Cout/tp channels ride the ICI instead of all of Cout. A final tiled
+    all_gather (also chunk-granular) restores the full activation.
+
+    Chunk schedule: device i contributes to chunk (i + tp-1 - t) mod tp at
+    step t, so after tp-1 hops chunk i lands fully-reduced on device i and
+    the tiled all_gather needs no reorder.
+
+    Requires Cout % tp == 0 and S % tp == 0 (callers pad; padded sub-spaces
+    hold zero codebooks -> exact zeros).
+    """
+    from qcnn_tpu.ops import lut as lut_ops
+
+    def local_fn(x, codebooks, assignments, bias):
+        tp = jax.lax.axis_size(MODEL_AXIS)
+        i = jax.lax.axis_index(MODEL_AXIS)
+        cout = assignments.shape[0]
+        chunk = cout // tp
+        s, k, d = codebooks.shape
+
+        lut = lut_ops.build_lut(x, codebooks)  # (B, S_local, K), built once
+        perm = [(src, (src + 1) % tp) for src in range(tp)]
+
+        def chunk_partial(c):
+            """This device's contribution to output chunk c (gather-
+            accumulate over local sub-spaces, MXU one-hot form)."""
+            rows = jax.lax.dynamic_slice(
+                assignments, (c * chunk, 0), (chunk, s)
+            )  # (chunk, S_local)
+            onehot = jax.nn.one_hot(
+                rows.astype(jnp.int32).T, k, dtype=lut.dtype
+            )  # (S_local, chunk, K)
+            return jnp.einsum(
+                "bsk,sok->bo", lut, onehot,
+                preferred_element_type=jnp.float32,
+            )
+
+        buf = chunk_partial((i + tp - 1) % tp)
+
+        def body(t, buf):
+            arrived = jax.lax.ppermute(buf, MODEL_AXIS, perm)
+            mine = chunk_partial((i + tp - 1 - t) % tp)
+            return arrived + mine
+
+        buf = jax.lax.fori_loop(1, tp, body, buf)
+        # device i now holds fully-reduced chunk i
+        buf = buf + jax.lax.dynamic_slice(bias, (i * chunk,), (chunk,))
+        return jax.lax.all_gather(buf, MODEL_AXIS, axis=-1, tiled=True)
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, MODEL_AXIS),      # x features split by sub-space
+            P(MODEL_AXIS, None, None),     # codebooks over S
+            P(None, MODEL_AXIS),           # assignments (Cout, S) over S
+            P(),                           # bias replicated
+        ),
+        out_specs=P(DATA_AXIS, None),
+        check_vma=False,
+    )
+
+
 def init_distributed(
     coordinator: Optional[str] = None,
     num_processes: Optional[int] = None,

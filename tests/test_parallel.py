@@ -146,6 +146,23 @@ class TestShardMapOps:
         want = np.asarray(pq_fc(x, p, impl="gather"))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
+    @pytest.mark.parametrize("dp,tp", [(2, 4), (1, 8), (4, 2)])
+    def test_row_parallel_overlapped_matches_single_device(self, rng, dp, tp):
+        """Ring reduce-scatter pipelined against per-chunk gather-accumulate
+        must be numerically identical to the plain psum formulation."""
+        from qcnn_tpu.ops.fc import pq_fc
+        from qcnn_tpu.parallel.mesh import make_mesh
+        from qcnn_tpu.parallel.shardmap_ops import (
+            row_parallel_pq_fc_overlapped,
+        )
+
+        x, p = self._data(rng)
+        mesh = make_mesh(jax.devices(), dp=dp, tp=tp)
+        fn = jax.jit(row_parallel_pq_fc_overlapped(mesh))
+        got = np.asarray(fn(x, p["codebooks"], p["assignments"], p["bias"]))
+        want = np.asarray(pq_fc(x, p, impl="gather"))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
 
 def test_dp_forward_resnet_family(rng):
     """Generic DP wrapper over the ResNet family on the virtual mesh."""
