@@ -17,10 +17,13 @@ qcnn_tpu/preproc/native/libimgproc.so: qcnn_tpu/preproc/native/imgproc.cc
 test:
 	python -m pytest tests/ -q
 
+lint:
+	python tools/qlint.py
+
 bench:
 	python bench.py
 
 clean:
 	rm -f $(NATIVE)
 
-.PHONY: all test bench clean
+.PHONY: all test lint bench clean

@@ -158,7 +158,8 @@ def pq_conv_params(codebooks, assignments, bias) -> dict:
         raise ValueError(f"subspace mismatch: codebooks S={s}, assignments S={s2}")
     if int(assignments.max()) >= k:
         raise ValueError("assignment index out of codebook range")
-    return {"codebooks": codebooks, "assignments": assignments, "bias": np.asarray(bias).reshape(-1)}
+    return {"codebooks": codebooks, "assignments": assignments,
+            "bias": np.asarray(bias).reshape(-1)}
 
 
 def pq_fc_params(codebooks, assignments, bias) -> dict:
@@ -170,7 +171,8 @@ def pq_fc_params(codebooks, assignments, bias) -> dict:
         raise ValueError(f"subspace mismatch: codebooks S={s}, assignments S={s2}")
     if int(assignments.max()) >= k:
         raise ValueError("assignment index out of codebook range")
-    return {"codebooks": codebooks, "assignments": assignments, "bias": np.asarray(bias).reshape(-1)}
+    return {"codebooks": codebooks, "assignments": assignments,
+            "bias": np.asarray(bias).reshape(-1)}
 
 
 def dense_conv_params(kernel_hwio, bias) -> dict:

@@ -5,23 +5,33 @@ The round-1 memory-mode formulations paid for the gather with extra MXU FLOPs
 AlexNet fc6/fc7). This kernel instead decodes weight *tiles* inside the
 kernel and pays dense-GEMM FLOPs:
 
-  - codebooks stay VMEM-resident per S-chunk, laid out (S, K*D) so
-    ``cb[:, k*D+d]`` is a directly broadcastable (Sg, 1) column;
-  - uint8 assignment tiles stream from HBM — the ONLY per-output weight
-    traffic, 1/8 the bytes of the decoded bf16 matrix (1/21 vs f32);
-  - a weight tile W_d[(s), o] = cb[s, A[o,s]*D+d] is decoded in-register by
-    K select-accumulate passes on the VPU (~2K ops per weight element,
-    independent of B — the TPU-native analogue of the reference's per-output
-    gather loop, CaffeEva.cc:1006-1017);
-  - the decoded tile immediately feeds the MXU: out += x_d @ W_d with dense
-    contraction B*S*D*Cout. VPU decode and MXU GEMM overlap in the VLIW
-    schedule, so for B >~ K the kernel approaches decoded-dense GEMM speed
-    while streaming 8x less weight HBM.
+  - codebooks stay VMEM-resident per S-chunk, laid out (K*D, S) so the
+    (k, d) codeword row is a (1, Sg) lane vector broadcast across output
+    sublanes (natively cheap — the earlier lane-column formulation needed a
+    cross-lane broadcast Mosaic rejects);
+  - uint8 assignment tiles stream from HBM in their natural (Cout, S)
+    layout — the ONLY per-output weight traffic, 1/8 the bytes of the
+    decoded bf16 matrix (1/21 vs f32);
+  - a transposed weight tile W_T[o, s] = cb[A[o,s]*D+d, s] is decoded
+    in-register by K select-accumulate passes on the VPU (~2K ops per weight
+    element, independent of B — the TPU-native analogue of the reference's
+    per-output gather loop, CaffeEva.cc:1006-1017);
+  - the decoded tile immediately feeds the MXU NT-form: out += x_d @ W_T^T
+    with dense contraction B*S*D*Cout. VPU decode and MXU GEMM overlap in
+    the VLIW schedule, so for B >~ K the kernel approaches decoded-dense
+    GEMM speed while streaming 8x less weight HBM.
 
-Layouts chosen for Mosaic: x is pre-transposed to (D, B, S) outside the
-kernel (strided in-kernel slices are unsupported); the grid is
-(B tiles, Cout tiles, S chunks) with the S chunk innermost, accumulating
-into the resident f32 output block.
+Mosaic constraints found empirically on this toolchain (v5e):
+  - bf16/int16 equality compares: "Target does not support this comparison";
+  - i1 masks from 32-bit compares cannot relayout into 16-bit selects
+    ("Invalid relayout ... (8,128) -> (16,128)");
+  => compare in int32, select in float32, convert W to bf16 once per tile
+     before the dot (an all-bf16 arithmetic mask avoids both limits but
+     measured 2.6x slower — see _kernel).
+
+x is pre-transposed to (D, B, S) outside the kernel (strided in-kernel
+slices are unsupported). Grid is (B tiles, Cout tiles, S chunks), S chunk
+innermost, accumulating into the resident f32 output block.
 
 Measured results: docs/KERNEL_STUDIES.md §9.
 """
@@ -41,7 +51,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _kernel(xt_ref, cb_ref, asmt_ref, bias_ref, out_ref, *, num_k, d_len):
-    """xt (D, Bt, Sg) bf16; cb (Sg, >=K*D) bf16; asmt (Sg, Ct) int8;
+    """xt (D, Bt, Sg) bf16; cb (K*D, Sg) bf16; asmt (Ct, Sg) int8;
     bias (1, Ct) f32; out (Bt, Ct) f32 accumulated over the S-chunk grid."""
     k_id = pl.program_id(2)
 
@@ -51,18 +61,27 @@ def _kernel(xt_ref, cb_ref, asmt_ref, bias_ref, out_ref, *, num_k, d_len):
             bias_ref[0, :][None, :], out_ref.shape
         ).astype(jnp.float32)
 
-    a = asmt_ref[:].astype(jnp.int32)  # (Sg, Ct)
-    zero = jnp.zeros(a.shape, jnp.bfloat16)
-    w_tiles = [zero for _ in range(d_len)]
+    # Decode in the 32-bit domain: int32 compare + f32 select, one bf16
+    # conversion per (d, S-chunk) tile before the dot. The two obvious
+    # cheaper formulations hit Mosaic limits or are slower (measured,
+    # KERNEL_STUDIES §9): bf16/int16 equality compares are unsupported on
+    # this target; an all-bf16 arithmetic mask relu(1-|a-k|) compiles but
+    # runs 2.6x slower than compare+select (bf16 VPU ops are not packed
+    # 2x here, and the mask chain is 4 ops vs 1 compare).
+    a = asmt_ref[:].astype(jnp.int32)  # (Ct, Sg)
+    zero = jnp.zeros(a.shape, jnp.float32)
+    w_t = [zero for _ in range(d_len)]
     for kk in range(num_k):
         m = a == kk
         for d in range(d_len):
-            col = cb_ref[:, kk * d_len + d][:, None]  # (Sg, 1)
-            w_tiles[d] = w_tiles[d] + jnp.where(m, col, zero)
+            row = cb_ref[kk * d_len + d, :][None, :].astype(jnp.float32)
+            w_t[d] = w_t[d] + jnp.where(m, row, zero)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for d in range(d_len):
-        acc = acc + jnp.dot(
-            xt_ref[d], w_tiles[d], preferred_element_type=jnp.float32
+        acc = acc + jax.lax.dot_general(
+            xt_ref[d], w_t[d].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
     out_ref[:] += acc
 
@@ -71,17 +90,16 @@ def _kernel(xt_ref, cb_ref, asmt_ref, bias_ref, out_ref, *, num_k, d_len):
     jax.jit, static_argnames=("block_b", "block_o", "block_s", "interpret")
 )
 def _pq_fc_fused(
-    x, codebooks, asmt_t, bias, *, block_b, block_o, block_s, interpret
+    x, codebooks, asmt, bias, *, block_b, block_o, block_s, interpret
 ):
     b, cin = x.shape
     s, k, d = codebooks.shape
-    s_dim, cout = asmt_t.shape
+    cout, s_dim = asmt.shape
     assert s_dim == s
 
     s_pad = _ceil_to(s, block_s)
     b_pad = _ceil_to(b, block_b)
     o_pad = _ceil_to(cout, block_o)
-    kd_pad = max(_ceil_to(k * d, 128), 128)
 
     # x -> (D, B, S): d-major slices are contiguous in-kernel (Mosaic has no
     # strided value slices). Feature overhang (cin < S*D) zero-pads, matching
@@ -90,14 +108,16 @@ def _pq_fc_fused(
     xt = xp.reshape(b_pad, s, d).transpose(2, 0, 1)  # (D, B_pad, S)
     xt = jnp.pad(xt, ((0, 0), (0, 0), (0, s_pad - s)))
 
-    cb = codebooks.astype(jnp.bfloat16).reshape(s, k * d)
-    cb = jnp.pad(cb, ((0, s_pad - s), (0, kd_pad - k * d)))
+    # codebooks (S, K, D) -> (K*D, S): row k*D+d holds codeword k's d-th
+    # component for every subspace
+    cb = codebooks.astype(jnp.bfloat16).transpose(1, 2, 0).reshape(k * d, s)
+    cb = jnp.pad(cb, ((0, 0), (0, s_pad - s)))
 
-    # padding rows use index -1 (0xff): never equal to any codeword id, so
-    # decoded padding weights are exactly zero
+    # padding entries use index -1 (0xff): never equal to any codeword id,
+    # so decoded padding weights are exactly zero
     asmt_p = jnp.pad(
-        asmt_t.astype(jnp.int8),
-        ((0, s_pad - s), (0, o_pad - cout)),
+        asmt.astype(jnp.int8),
+        ((0, o_pad - cout), (0, s_pad - s)),
         constant_values=-1,
     )
     bias_p = jnp.pad(bias.astype(jnp.float32), (0, o_pad - cout))
@@ -114,13 +134,13 @@ def _pq_fc_fused(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (block_s, kd_pad),
-                lambda i, j, kk: (kk, 0),
+                (k * d, block_s),
+                lambda i, j, kk: (0, kk),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (block_s, block_o),
-                lambda i, j, kk: (kk, j),
+                (block_o, block_s),
+                lambda i, j, kk: (j, kk),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -153,7 +173,7 @@ def pq_fc_fused(
     params: dict,
     *,
     block_b: int | None = None,
-    block_o: int = 512,
+    block_o: int = 256,
     block_s: int = 128,
     interpret: bool | None = None,
 ) -> jax.Array:
@@ -177,11 +197,10 @@ def pq_fc_fused(
             f"fused kernel supports K <= 127 (int8 assignment compare); "
             f"got K={k}"
         )
-    asmt_t = jnp.asarray(params["assignments"]).astype(jnp.int8).T  # (S, Cout)
     return _pq_fc_fused(
         x,
         jnp.asarray(params["codebooks"]),
-        asmt_t,
+        jnp.asarray(params["assignments"]),
         jnp.asarray(params["bias"]),
         block_b=block_b,
         block_o=block_o,

@@ -205,7 +205,10 @@ class TestPQConv:
 
 
 class TestPoolLRN:
-    @pytest.mark.parametrize("h,kernel,stride", [(55, 3, 2), (27, 3, 2), (13, 3, 2), (10, 2, 2), (9, 3, 3)])
+    @pytest.mark.parametrize(
+    "h,kernel,stride",
+    [(55, 3, 2), (27, 3, 2), (13, 3, 2), (10, 2, 2), (9, 3, 3)],
+)
     def test_ceil_pool_matches_oracle(self, rng, h, kernel, stride):
         x = rng.standard_normal((2, h, h, 5), dtype=np.float32)
         want = np_max_pool(x, kernel, stride)

@@ -2,7 +2,7 @@
 and error-corrected PQ beating plain PQ on response error."""
 
 import numpy as np
-import pytest
+
 import jax
 import jax.numpy as jnp
 
