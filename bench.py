@@ -69,20 +69,11 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int):
     """Throughput for the ResNet/ViT PQ families (synthetic weights —
     no pretrained checkpoints ship offline; timing is weight-agnostic)."""
     import jax
+    import jax.numpy as _jnp
     import numpy as np
 
     from qcnn_tpu.utils.devtime import time_device_fn
 
-    import jax.numpy as _jnp
-
-    if model not in ("vgg16", "vgg_cnn_s", "caffenet") and dtype in (
-        _jnp.int8, "int8"
-    ):
-        # fail BEFORE the minutes-long family quantization, not after
-        raise NotImplementedError(
-            "int8 execution is wired for the linear ModelSpec path; "
-            f"--model {model} supports bfloat16/float32"
-        )
     rng = np.random.default_rng(1)
     if model in ("vgg16", "vgg_cnn_s", "caffenet"):
         import jax.numpy as jnp
@@ -126,9 +117,10 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int):
         prepared = jax.device_put(fam.prepare_params(spec, pq, dtype=dtype))
         size = spec.image_size
     x = rng.standard_normal((batch, size, size, 3)).astype(np.float32)
+    fam_act = _jnp.bfloat16 if dtype in (_jnp.int8, "int8") else dtype
 
     def step(x, params):
-        return fam.forward(params, x, spec=spec, compute_dtype=dtype)
+        return fam.forward(params, x, spec=spec, compute_dtype=fam_act)
 
     return time_device_fn(step, x, prepared, k1=k1, k2=k2), spec
 
@@ -179,11 +171,28 @@ def main() -> None:
     spec, params = load_params()
     dtype = dtype_arg
     # int8 applies to weights; activations stay bf16 between layers and are
-    # dynamically quantized inside the int8 ops
+    # quantized inside the int8 ops — with STATIC calibrated scales (one
+    # bf16 calibration pass) so no per-layer amax re-reads the activations
     act_dtype = jnp.bfloat16 if args.dtype == "int8" else dtype
+    act_scales = None
+    if args.dtype == "int8":
+        from qcnn_tpu.models.calibrate import calibrate_act_scales
+
+        prep_bf, cib, fib = prepare_params(
+            spec, params, batch_hint=args.batch,
+            conv_impl=args.conv_impl, fc_impl=args.fc_impl,
+            dtype=jnp.bfloat16,
+        )
+        log("calibrating static int8 activation scales (one bf16 pass)")
+        act_scales = calibrate_act_scales(
+            spec, jax.device_put(prep_bf),
+            synth.random_input(spec, 32, seed=3),
+            conv_impls=cib, fc_impls=fib,
+        )
     prepared, conv_impls, fc_impls = prepare_params(
         spec, params, batch_hint=args.batch,
         conv_impl=args.conv_impl, fc_impl=args.fc_impl, dtype=dtype,
+        act_scales=act_scales,
     )
     prepared = jax.device_put(prepared)
     log(f"strategies: conv={conv_impls} fc={fc_impls} dtype={args.dtype}")

@@ -154,6 +154,55 @@ def cmd_convert(args) -> int:
 
 
 # ---------------------------------------------------------------------------
+# calibrate — static int8 activation scales (checkpoint sidecar)
+# ---------------------------------------------------------------------------
+
+def cmd_calibrate(args) -> int:
+    """One bf16 pass over calibration inputs -> act_scales.json sidecar.
+    int8 serving then skips the dynamic per-tensor amax (KERNEL_STUDIES §6:
+    the amax re-reads regressed int8 below bf16 at batch 256)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qcnn_tpu.formats.checkpoint import (
+        load_checkpoint, load_preprocessor, save_act_scales,
+    )
+    from qcnn_tpu.models.calibrate import calibrate_act_scales
+    from qcnn_tpu.models.prepare import prepare_params
+
+    spec, params = load_checkpoint(args.checkpoint)
+    prepared, ci, fi = prepare_params(spec, params, dtype=jnp.bfloat16)
+    if args.images:
+        pre = load_preprocessor(args.checkpoint)
+        if pre is None:
+            log("error: checkpoint has no preprocessing config; "
+                "use synthetic calibration (omit --images)")
+            return 2
+        paths = sorted(sum((glob.glob(p) for p in args.images), []))
+        if not paths:
+            log("error: no calibration images matched")
+            return 2
+        x = pre.load_batch(paths)
+        log(f"calibrating on {len(paths)} images")
+    else:
+        rng = np.random.default_rng(args.seed)
+        x = rng.standard_normal(
+            (args.batch, spec.in_height, spec.in_width, spec.in_channels)
+        ).astype(np.float32)
+        log(f"calibrating on {args.batch} synthetic inputs (prefer --images "
+            "with real data for production scales)")
+    scales = calibrate_act_scales(
+        spec, jax.device_put(prepared), x,
+        conv_impls=ci, fc_impls=fi, margin=args.margin,
+    )
+    save_act_scales(args.checkpoint, scales)
+    log(f"wrote {len(scales)} act scales to "
+        f"{os.path.join(args.checkpoint, 'act_scales.json')}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
 # import / export — reference files <-> native checkpoint
 # ---------------------------------------------------------------------------
 
@@ -504,6 +553,18 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--batch", type=int, default=64)
     e.add_argument("--limit", type=int, default=1000)
     e.set_defaults(fn=cmd_eval)
+
+    cal = sub.add_parser(
+        "calibrate",
+        help="static int8 activation scales -> checkpoint sidecar",
+    )
+    cal.add_argument("checkpoint")
+    cal.add_argument("--images", nargs="+",
+                     help="BMP globs for calibration (default: synthetic)")
+    cal.add_argument("--batch", type=int, default=32)
+    cal.add_argument("--margin", type=float, default=1.0)
+    cal.add_argument("--seed", type=int, default=0)
+    cal.set_defaults(fn=cmd_calibrate)
 
     v = sub.add_parser("convert", help="convert assignment .bin <-> .cbn")
     v.add_argument("src")

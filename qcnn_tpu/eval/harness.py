@@ -62,6 +62,7 @@ class Classifier:
         conv_impl: str = "auto",
         fc_impl: str = "auto",
         compute_dtype=None,
+        act_scales: Optional[dict] = None,
     ) -> None:
         import jax
 
@@ -90,6 +91,7 @@ class Classifier:
         prepared, conv_impls, fc_impls = prepare_params(
             spec, params,
             conv_impl=conv_impl, fc_impl=fc_impl, dtype=compute_dtype,
+            act_scales=act_scales,
         )
         self.params = jax.device_put(prepared)
         self._fwd = make_forward_fn(
@@ -148,6 +150,9 @@ class Classifier:
             load_class_names(names_path) if os.path.exists(names_path)
             else None
         )
+        from qcnn_tpu.formats.checkpoint import load_act_scales
+
+        kwargs.setdefault("act_scales", load_act_scales(path))
         return cls(spec, params, pre, names, **kwargs)
 
     def _result(self, probs, bmp_path, top_k, elapsed) -> ClassifyResult:

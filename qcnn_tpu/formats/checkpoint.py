@@ -227,6 +227,23 @@ def load_preprocessor(path: str):
     )
 
 
+def save_act_scales(path: str, scales: dict) -> None:
+    """Persist static int8 activation scales ({layer_index: scale}, from
+    models.calibrate.calibrate_act_scales) as a checkpoint sidecar. Optional:
+    int8 loads without it fall back to dynamic per-tensor quantization."""
+    with open(os.path.join(path, "act_scales.json"), "w") as f:
+        json.dump({str(k): float(v) for k, v in scales.items()}, f)
+
+
+def load_act_scales(path: str) -> Optional[dict]:
+    """-> {layer_index: scale} or None when the checkpoint has no sidecar."""
+    p = os.path.join(path, "act_scales.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return {int(k): float(v) for k, v in json.load(f).items()}
+
+
 def save_checkpoint(
     path: str, spec: ModelSpec, params: Sequence[Optional[dict]]
 ) -> None:

@@ -50,9 +50,23 @@ from qcnn_tpu.ops import (
 # runs at the HBM weight-stream roofline and beats every LUT formulation at
 # every batch size — any gather realization pays ~S*K*Cout VPU select ops,
 # ~170x slower per element than MXU MACs. The LUT paths remain as explicit
-# memory-mode options (codebooks+assignments are ~21x smaller than dense).
+# memory-mode options (codebooks+assignments are ~21x smaller than dense);
+# "memory" picks the best measured memory-mode kernel per layer geometry
+# and batch (docs/KERNEL_STUDIES.md §9).
 CONV_IMPLS = ("decode", "lut")
-FC_IMPLS = ("onehot", "gather", "decode", "pallas")
+FC_IMPLS = ("onehot", "gather", "decode", "pallas", "fused", "memory")
+
+
+def _memory_fc_impl(p: dict, batch: int) -> str:
+    """Best measured memory-mode FC kernel for this geometry/batch
+    (KERNEL_STUDIES §9): the fused decode-GEMM kernel wins at large batch
+    (dense-FLOP contraction, 1/8 weight bytes) and everywhere when D == 1
+    (fc8-style scalar subspaces); the VMEM one-hot kernel wins the small-
+    batch D>1 geometries where the LUT is tiny and reused."""
+    d = int(p["codebooks"].shape[2])
+    if d == 1 or batch >= 128:
+        return "fused"
+    return "pallas"
 
 
 def resolve_strategy(
@@ -79,6 +93,8 @@ def resolve_strategy(
                 fc_choices.append("dense")
             elif fc_impl == "auto":
                 fc_choices.append("decode")
+            elif fc_impl == "memory":
+                fc_choices.append(_memory_fc_impl(p, batch))
             else:
                 fc_choices.append(fc_impl)
             conv_choices.append("-")
@@ -99,6 +115,7 @@ def forward(
     compute_dtype=None,
     conv_impls: Optional[tuple[str, ...]] = None,
     fc_impls: Optional[tuple[str, ...]] = None,
+    collect_act_amax: bool = False,
 ) -> jax.Array:
     """Run the full forward pass.
 
@@ -111,8 +128,12 @@ def forward(
         softmax stay float32.
       conv_impls/fc_impls: pre-resolved per-layer strategies (from
         models.prepare.prepare_params); overrides conv_impl/fc_impl.
+      collect_act_amax: also return {layer_index: amax(|input|)} for every
+        conv/FC layer (one jittable program — the int8 calibration pass,
+        models/calibrate.py).
     Returns:
-      (B, num_classes) class probabilities (or logits if with_softmax=False).
+      (B, num_classes) class probabilities (or logits if with_softmax=False);
+      with collect_act_amax, a (probs, amax_dict) tuple.
     """
     if x.ndim != 4:
         raise ValueError(f"expected NHWC input, got shape {x.shape}")
@@ -125,9 +146,16 @@ def forward(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
 
+    act_amax: dict[int, jax.Array] = {}
+
+    def record_amax(i, v):
+        if collect_act_amax:
+            act_amax[i] = jnp.max(jnp.abs(v.astype(jnp.float32)))
+
     first_fc_done = False
     for i, (layer, p) in enumerate(zip(spec.layers, params)):
         if isinstance(layer, ConvSpec):
+            record_amax(i, x)
             if conv_strat[i] == "dense":
                 if "kernel_q" in p:
                     from qcnn_tpu.ops.conv import conv_dense_int8
@@ -136,6 +164,7 @@ def forward(
                         x, p["kernel_q"], p["scale"], p["bias"],
                         stride=layer.stride, pad=layer.pad,
                         groups=layer.groups,
+                        act_scale=p.get("act_scale"),
                     )
                 else:
                     x = conv_dense(
@@ -162,11 +191,15 @@ def forward(
                 first_fc_done = True
             else:
                 x = x.reshape(x.shape[0], -1)
+            record_amax(i, x)
             if fc_strat[i] == "dense":
                 if "weight_q" in p:
                     from qcnn_tpu.ops.fc import fc_dense_int8
 
-                    x = fc_dense_int8(x, p["weight_q"], p["scale"], p["bias"])
+                    x = fc_dense_int8(
+                        x, p["weight_q"], p["scale"], p["bias"],
+                        act_scale=p.get("act_scale"),
+                    )
                 else:
                     x = fc_dense(x, p["weight"], p["bias"])
             else:
@@ -184,6 +217,8 @@ def forward(
                 x = softmax(x.astype(jnp.float32))
         else:
             raise TypeError(f"unhandled layer spec: {layer!r}")
+    if collect_act_amax:
+        return x, act_amax
     return x
 
 

@@ -76,16 +76,27 @@ def prepare_params(
     conv_impl: str = "auto",
     fc_impl: str = "auto",
     dtype=jnp.bfloat16,
+    act_scales: Optional[dict] = None,
 ) -> tuple[list, tuple[str, ...], tuple[str, ...]]:
     """Resolve strategies and pre-decode/pre-layout parameters.
 
     Returns (prepared_params, conv_impls, fc_impls) where the impl tuples are
     the per-layer strategies to pass to network.forward (decoded layers
     become 'dense').
+
+    act_scales: {layer_index: static activation scale} from
+    models.calibrate.calibrate_act_scales — int8 mode only; layers present
+    in the dict skip the dynamic amax pass at runtime.
     """
     conv_strat, fc_strat = network.resolve_strategy(
         spec, params, batch_hint, conv_impl, fc_impl
     )
+
+    def with_act_scale(d: dict, i: int) -> dict:
+        if act_scales is not None and i in act_scales:
+            d["act_scale"] = np.float32(act_scales[i])
+        return d
+
     out: list = []
     conv_final: list[str] = []
     fc_final: list[str] = []
@@ -103,8 +114,9 @@ def prepare_params(
                     kq, scale = _quantize_weight_int8(
                         np.asarray(p["kernel"], np.float32)
                     )
-                    out.append({"kernel_q": kq, "scale": scale,
-                                "bias": np.asarray(p["bias"], np.float32)})
+                    out.append(with_act_scale(
+                        {"kernel_q": kq, "scale": scale,
+                         "bias": np.asarray(p["bias"], np.float32)}, i))
                 else:
                     out.append(
                         {"kernel": np.asarray(p["kernel"], _np_dtype(dtype)),
@@ -120,7 +132,8 @@ def prepare_params(
                 if _is_int8(dtype):
                     kq, scale = _quantize_weight_int8(kernel)
                     conv_final.append("dense")
-                    out.append({"kernel_q": kq, "scale": scale, "bias": bias})
+                    out.append(with_act_scale(
+                        {"kernel_q": kq, "scale": scale, "bias": bias}, i))
                 else:
                     conv_final.append("dense")
                     out.append(
@@ -141,8 +154,9 @@ def prepare_params(
                     wq, scale = _quantize_weight_int8(
                         np.asarray(p["weight"], np.float32)
                     )
-                    out.append({"weight_q": wq, "scale": scale,
-                                "bias": np.asarray(p["bias"], np.float32)})
+                    out.append(with_act_scale(
+                        {"weight_q": wq, "scale": scale,
+                         "bias": np.asarray(p["bias"], np.float32)}, i))
                 else:
                     out.append(
                         {"weight": np.asarray(p["weight"], _np_dtype(dtype)),
@@ -159,7 +173,8 @@ def prepare_params(
                 if _is_int8(dtype):
                     wq, scale = _quantize_weight_int8(weight)
                     fc_final.append("dense")
-                    out.append({"weight_q": wq, "scale": scale, "bias": bias})
+                    out.append(with_act_scale(
+                        {"weight_q": wq, "scale": scale, "bias": bias}, i))
                 else:
                     fc_final.append("dense")
                     out.append(

@@ -112,6 +112,11 @@ def init_dense_params(spec: ResNetSpec, seed: int = 0) -> dict:
 def _apply_conv(x, p, *, stride=1, pad=0):
     if "codebooks" in p:
         return conv_ops.pq_conv(x, p, stride=stride, pad=pad, impl="decode")
+    if "kernel_q" in p:
+        return conv_ops.conv_dense_int8(
+            x, p["kernel_q"], p["scale"], p["bias"],
+            stride=stride, pad=pad, act_scale=p.get("act_scale"),
+        )
     return conv_ops.conv_dense(x, p["kernel"], p["bias"],
                                stride=stride, pad=pad)
 
@@ -119,6 +124,11 @@ def _apply_conv(x, p, *, stride=1, pad=0):
 def _apply_fc(x, p):
     if "codebooks" in p:
         return fc_ops.pq_fc(x, p, impl="decode")
+    if "weight_q" in p:
+        return fc_ops.fc_dense_int8(
+            x, p["weight_q"], p["scale"], p["bias"],
+            act_scale=p.get("act_scale"),
+        )
     return fc_ops.fc_dense(x, p["weight"], p["bias"])
 
 
@@ -225,41 +235,44 @@ def prepare_params(spec: ResNetSpec, params: dict, dtype=jnp.bfloat16) -> dict:
         _decode_conv_kernel_np, _decode_fc_weight_np,
     )
 
-    if dtype in (jnp.int8, np.int8, "int8"):
-        raise NotImplementedError(
-            "int8 execution is wired for the linear ModelSpec path "
-            "(models/prepare.py); a bare astype here would silently drop "
-            "the scales"
-        )
+    int8 = dtype in (jnp.int8, np.int8, "int8")
     np_dtype = (
-        ml_dtypes.bfloat16 if dtype in (jnp.bfloat16, "bfloat16") else dtype
+        ml_dtypes.bfloat16 if dtype in (jnp.bfloat16, "bfloat16")
+        else (np.float32 if int8 else dtype)
     )
+
+    def finish(kind: str, w: np.ndarray, bias) -> dict:
+        """kind: 'kernel'|'weight'. int8 -> per-Cout symmetric quant with
+        scales (ops.conv.conv_dense_int8 / ops.fc.fc_dense_int8); else cast."""
+        bias = np.asarray(bias, np.float32)
+        if int8:
+            from qcnn_tpu.models.prepare import _quantize_weight_int8
+
+            wq, scale = _quantize_weight_int8(np.asarray(w, np.float32))
+            return {f"{kind}_q": wq, "scale": scale, "bias": bias}
+        return {kind: np.asarray(w, np_dtype), "bias": bias}
 
     def prep(p, cin_hint=None, is_fc=False):
         if "codebooks" in p:
+            s, _, d = np.asarray(p["codebooks"]).shape
             if is_fc:
-                s, _, d = np.asarray(p["codebooks"]).shape
                 w = _decode_fc_weight_np(
                     np.asarray(p["codebooks"]),
                     np.asarray(p["assignments"]),
                     cin_hint if cin_hint else s * d,
                 )
-                return {"weight": w.astype(np_dtype),
-                        "bias": np.asarray(p["bias"], np.float32)}
-            s, _, d = np.asarray(p["codebooks"]).shape
+                return finish("weight", w, p["bias"])
             kern = _decode_conv_kernel_np(
                 np.asarray(p["codebooks"]),
                 np.asarray(p["assignments"]),
                 cin_hint if cin_hint else s * d,
             )
-            return {"kernel": kern.astype(np_dtype),
-                    "bias": np.asarray(p["bias"], np.float32)}
-        out = dict(p)
-        if "kernel" in out:
-            out["kernel"] = np.asarray(out["kernel"], np_dtype)
-        if "weight" in out:
-            out["weight"] = np.asarray(out["weight"], np_dtype)
-        return out
+            return finish("kernel", kern, p["bias"])
+        if "kernel" in p:
+            return finish("kernel", p["kernel"], p["bias"])
+        if "weight" in p:
+            return finish("weight", p["weight"], p["bias"])
+        return dict(p)
 
     prepared: dict = {}
     shapes = _conv_cin_map(spec)

@@ -117,6 +117,11 @@ def _proj(x, p):
     x2 = x.reshape(-1, x.shape[-1])
     if "codebooks" in p:
         y = fc_ops.pq_fc(x2, p, impl="decode")
+    elif "weight_q" in p:
+        y = fc_ops.fc_dense_int8(
+            x2, p["weight_q"], p["scale"], p["bias"],
+            act_scale=p.get("act_scale"),
+        )
     else:
         y = fc_ops.fc_dense(x2, p["weight"], p["bias"])
     return y.reshape(*lead, y.shape[-1])
@@ -226,16 +231,21 @@ def prepare_params(spec: ViTSpec, params: dict, dtype=jnp.bfloat16) -> dict:
 
     from qcnn_tpu.models.prepare import _decode_fc_weight_np
 
-    if dtype in (jnp.int8, np.int8, "int8"):
-        raise NotImplementedError(
-            "int8 execution is wired for the linear ModelSpec path "
-            "(models/prepare.py); a bare astype here would silently drop "
-            "the scales"
-        )
+    int8 = dtype in (jnp.int8, np.int8, "int8")
     np_dtype = (
-        ml_dtypes.bfloat16 if dtype in (jnp.bfloat16, "bfloat16") else dtype
+        ml_dtypes.bfloat16 if dtype in (jnp.bfloat16, "bfloat16")
+        else (np.float32 if int8 else dtype)
     )
     cin_map = _gemm_cin_map(spec)
+
+    def finish(w, bias) -> dict:
+        bias = np.asarray(bias, np.float32)
+        if int8:
+            from qcnn_tpu.models.prepare import _quantize_weight_int8
+
+            wq, scale = _quantize_weight_int8(np.asarray(w, np.float32))
+            return {"weight_q": wq, "scale": scale, "bias": bias}
+        return {"weight": np.asarray(w, np_dtype), "bias": bias}
 
     def prep(p, path):
         if isinstance(p, dict) and "codebooks" in p:
@@ -243,11 +253,9 @@ def prepare_params(spec: ViTSpec, params: dict, dtype=jnp.bfloat16) -> dict:
                 np.asarray(p["codebooks"]), np.asarray(p["assignments"]),
                 cin_map[path],
             )
-            return {"weight": w.astype(np_dtype),
-                    "bias": np.asarray(p["bias"], np.float32)}
+            return finish(w, p["bias"])
         if isinstance(p, dict) and "weight" in p:
-            return {"weight": np.asarray(p["weight"], np_dtype),
-                    "bias": np.asarray(p["bias"], np.float32)}
+            return finish(p["weight"], p["bias"])
         if isinstance(p, dict):
             return {k: prep(v, f"{path}.{k}") for k, v in p.items()}
         return p

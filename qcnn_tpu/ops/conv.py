@@ -129,12 +129,14 @@ def conv_dense_int8(
     stride: int,
     pad: int,
     groups: int = 1,
+    act_scale: jax.Array | None = None,
 ) -> jax.Array:
-    """int8 conv: kernel_q (kh,kw,Cg,Cout) int8, per-Cout scales; dynamic
-    per-tensor activation quantization (see ops/fc.py fc_dense_int8)."""
+    """int8 conv: kernel_q (kh,kw,Cg,Cout) int8, per-Cout scales; activation
+    quantization dynamic or via a static calibrated scale (see ops/fc.py
+    fc_dense_int8)."""
     from qcnn_tpu.ops.fc import quantize_activations_int8
 
-    xq, x_scale = quantize_activations_int8(x)
+    xq, x_scale = quantize_activations_int8(x, act_scale)
     acc = lax.conv_general_dilated(
         xq,
         kernel_q,

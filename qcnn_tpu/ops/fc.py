@@ -21,25 +21,40 @@ def fc_dense(x: jax.Array, weight: jax.Array, bias: jax.Array) -> jax.Array:
     return jnp.dot(x, weight, preferred_element_type=jnp.float32) + bias
 
 
-def quantize_activations_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Dynamic symmetric per-tensor int8 quantization: (x_q, scale) with
-    x ≈ x_q * scale. The amax reduction + round fuse into the surrounding
-    graph on TPU."""
+def quantize_activations_int8(
+    x: jax.Array, act_scale: jax.Array | None = None
+) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-tensor int8 activation quantization: (x_q, scale) with
+    x ≈ x_q * scale.
+
+    With ``act_scale`` (a static scale from an offline calibration pass,
+    models/calibrate.py) the amax reduction disappears entirely — the
+    dynamic variant re-reads the whole activation tensor for the amax
+    before quantizing, which measurably regressed int8 below bf16 at batch
+    256 in round 1 (docs/KERNEL_STUDIES.md §6)."""
     xf = x.astype(jnp.float32)
-    amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12)
-    scale = amax / 127.0
+    if act_scale is None:
+        amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12)
+        scale = amax / 127.0
+    else:
+        scale = jnp.asarray(act_scale, jnp.float32)
     xq = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
     return xq, scale
 
 
 def fc_dense_int8(
-    x: jax.Array, weight_q: jax.Array, w_scale: jax.Array, bias: jax.Array
+    x: jax.Array,
+    weight_q: jax.Array,
+    w_scale: jax.Array,
+    bias: jax.Array,
+    act_scale: jax.Array | None = None,
 ) -> jax.Array:
     """int8 GEMM: weight_q (Cin, Cout) int8 with per-output-channel scales
-    (models/prepare.py int8 mode); activations quantized on the fly. The
-    MXU runs int8 at ~1.6x its bf16 rate on the attached chip (269 TOP/s
-    measured) and the weight HBM stream halves vs bf16."""
-    xq, x_scale = quantize_activations_int8(x)
+    (models/prepare.py int8 mode); activations quantized on the fly (or via
+    a static calibrated scale). The MXU runs int8 at ~1.6x its bf16 rate on
+    the attached chip (269 TOP/s measured) and the weight HBM stream halves
+    vs bf16."""
+    xq, x_scale = quantize_activations_int8(x, act_scale)
     acc = jax.lax.dot_general(
         xq, weight_q,
         dimension_numbers=(((1,), (0,)), ((), ())),

@@ -105,6 +105,7 @@ class BatchingEngine:
         config: EngineConfig = EngineConfig(),
         mesh=None,
         compute_dtype=None,
+        act_scales: Optional[dict] = None,
     ) -> None:
         import jax
         import jax.numpy as jnp
@@ -125,7 +126,7 @@ class BatchingEngine:
             else compute_dtype
         )
         prepared, conv_impls, fc_impls = prepare_params(
-            spec, params, dtype=compute_dtype
+            spec, params, dtype=compute_dtype, act_scales=act_scales
         )
         if mesh is not None:
             from qcnn_tpu.parallel import shard_params

@@ -55,6 +55,25 @@ class TestResNet:
         rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
         assert rel < 0.6  # residual nets compound error; bounded + runs
 
+    def test_int8_prepare_and_forward(self, small):
+        """Family int8 (round-1 verdict item 7): per-channel weight quant
+        with bf16 activations must track the float path."""
+        spec, dense, x = small
+        pq = resnet.quantize_params(
+            spec, dense, conv_codewords=16, fc_codewords=16
+        )
+        p_f32 = resnet.prepare_params(spec, pq, dtype=jnp.float32)
+        p_i8 = resnet.prepare_params(spec, pq, dtype=jnp.int8)
+        assert "kernel_q" in p_i8["s0b0"]["conv1"]
+        ref = np.asarray(resnet.forward(p_f32, x, spec=spec))
+        got = np.asarray(resnet.forward(
+            p_i8, x, spec=spec, compute_dtype=jnp.bfloat16
+        ))
+        assert got.shape == ref.shape
+        assert np.array_equal(got.argmax(1), ref.argmax(1))
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.2
+
     def test_fold_batchnorm(self):
         rng = np.random.default_rng(2)
         conv = {
@@ -116,3 +135,17 @@ class TestViT:
         assert out.dtype == np.float32
         ref = np.asarray(vit.forward(dense, x, spec=spec))
         assert np.argmax(out, -1).tolist() == np.argmax(ref, -1).tolist()
+
+    def test_int8_prepare_and_forward(self, tiny):
+        spec, dense, x = tiny
+        pq = vit.quantize_params(spec, dense, num_codewords=16)
+        p_f32 = vit.prepare_params(spec, pq, dtype=jnp.float32)
+        p_i8 = vit.prepare_params(spec, pq, dtype=jnp.int8)
+        assert "weight_q" in p_i8["blk0"]["qkv"]
+        ref = np.asarray(vit.forward(p_f32, x, spec=spec))
+        got = np.asarray(vit.forward(
+            p_i8, x, spec=spec, compute_dtype=jnp.bfloat16
+        ))
+        assert np.array_equal(got.argmax(1), ref.argmax(1))
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.2

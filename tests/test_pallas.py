@@ -79,3 +79,73 @@ class TestLRNBand:
             lrn(xb, size=5, alpha=5e-4, beta=0.75, k=2.0, impl="band")
         ).astype(np.float32)
         np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize(
+    "b,cin,cout,s,k,d",
+    [
+        (8, 64, 256, 16, 32, 4),     # fc-like, aligned
+        (1, 64, 256, 16, 32, 4),     # batch 1 (padded to sublane tile)
+        (5, 60, 250, 15, 32, 4),     # Cin < S*D overhang, odd Cout/S
+        (4, 64, 128, 64, 16, 1),     # fc8 geometry: D=1, K=16
+        (3, 96, 200, 12, 127, 8),    # K at the int8-compare limit
+    ],
+)
+def test_pq_fc_fused_matches_gather(rng, b, cin, cout, s, k, d):
+    """Oracle = decode path with bf16 weights/activations — the kernel
+    computes in bf16 internally, so the f32 gather oracle differs by bf16
+    rounding; against the same-precision decode it matches tightly."""
+    import jax.numpy as jnp
+
+    from qcnn_tpu.ops.fc import pq_fc_decode
+    from qcnn_tpu.ops.pallas import pq_fc_fused
+
+    x, params = _mk(rng, b, cin, cout, s, k, d)
+    bf_params = dict(params)
+    bf_params["codebooks"] = params["codebooks"].astype(jnp.bfloat16)
+    ref = np.asarray(
+        pq_fc_decode(np.asarray(x).astype(jnp.bfloat16), bf_params)
+    )
+    got = np.asarray(
+        pq_fc_fused(x, params, block_o=128, interpret=True)
+    )
+    assert got.shape == ref.shape
+    scale = max(1e-6, float(np.abs(ref).max()))
+    assert float(np.abs(got - ref).max()) / scale < 1e-5
+
+
+def test_pq_fc_fused_rejects_wide_codebooks(rng):
+    from qcnn_tpu.ops.pallas import pq_fc_fused
+
+    x, params = _mk(rng, 2, 32, 64, 8, 200, 4)
+    with pytest.raises(ValueError, match="K <= 127"):
+        pq_fc_fused(x, params, interpret=True)
+
+
+def test_memory_strategy_resolution(rng):
+    """'memory' fc_impl picks fused/pallas per geometry+batch
+    (KERNEL_STUDIES §9)."""
+    from qcnn_tpu.core import FCSpec, ModelSpec, SoftmaxSpec
+    from qcnn_tpu.models.network import resolve_strategy
+
+    spec = ModelSpec(
+        name="m", in_height=1, in_width=1, in_channels=64,
+        layers=(FCSpec(128), FCSpec(10), SoftmaxSpec()),
+    )
+    params = [
+        {  # D=4 fc: pallas at small batch, fused at large
+            "codebooks": np.zeros((16, 32, 4), np.float32),
+            "assignments": np.zeros((128, 16), np.uint8),
+            "bias": np.zeros(128, np.float32),
+        },
+        {  # D=1 classifier: always fused
+            "codebooks": np.zeros((128, 16, 1), np.float32),
+            "assignments": np.zeros((10, 128), np.uint8),
+            "bias": np.zeros(10, np.float32),
+        },
+        None,
+    ]
+    _, fc_small = resolve_strategy(spec, params, 8, "auto", "memory")
+    _, fc_large = resolve_strategy(spec, params, 256, "auto", "memory")
+    assert fc_small == ("pallas", "fused", "-")
+    assert fc_large == ("fused", "fused", "-")
