@@ -103,13 +103,27 @@ def cmd_eval(args) -> int:
     )
     if os.path.exists(data_path):
         from qcnn_tpu.formats import read_bin
+        from qcnn_tpu.formats.reference_codec import read_bin_batches
         from qcnn_tpu.eval.harness import evaluate_dataset
 
-        images = read_bin(data_path, np.float32)[: args.limit]
         labels = read_bin(labl_path, np.uint16).reshape(-1)[: args.limit]
-        images = np.transpose(images, (0, 2, 3, 1))  # NCHW -> NHWC
+
+        def batches():
+            # stream the (500 MB at full size) val blob in batch-row chunks,
+            # NCHW -> NHWC per chunk; never materialize the whole tensor
+            done = 0
+            for chunk in read_bin_batches(data_path, np.float32, args.batch):
+                if args.limit and done + chunk.shape[0] > args.limit:
+                    chunk = chunk[: args.limit - done]
+                if chunk.shape[0] == 0:
+                    return
+                done += chunk.shape[0]
+                yield np.transpose(chunk, (0, 2, 3, 1))
+                if args.limit and done >= args.limit:
+                    return
+
         rep = evaluate_dataset(
-            clf._fwd, clf.params, images, labels.astype(np.int64),
+            clf._fwd, clf.params, batches(), labels.astype(np.int64),
             batch_size=args.batch,
         )
         for k, v in rep["accuracy"].items():
@@ -279,7 +293,22 @@ def cmd_quantize(args) -> int:
     from qcnn_tpu.formats.checkpoint import load_checkpoint, save_checkpoint
     from qcnn_tpu.quantizer.pq import quantize_conv_layer, quantize_fc_layer
 
-    spec, params = load_checkpoint(args.checkpoint)
+    if str(args.checkpoint).endswith(".caffemodel"):
+        # real-world FP32 ingestion: the reference lineage's original format
+        # (BASELINE config 3: "quantize from FP32 checkpoint")
+        if not args.arch:
+            log("error: --arch is required for .caffemodel input "
+                "(the protobuf carries weights, not topology)")
+            return 2
+        from qcnn_tpu.formats.caffe_pb import import_caffemodel
+        from qcnn_tpu.models import zoo
+
+        spec = zoo.get_model(args.arch)
+        params = import_caffemodel(args.checkpoint, spec)
+        log(f"imported {args.checkpoint} into {spec.name} "
+            f"({sum(p is not None for p in params)} learnable layers)")
+    else:
+        spec, params = load_checkpoint(args.checkpoint)
     # per-layer overrides: the reference's codebook geometry varies per layer
     # (SURVEY.md §2a: fc8 uses scalar sub-spaces with 16 codewords while
     # fc6/fc7 use 4-wide/32); --layer-config exposes that as JSON, e.g.
@@ -588,8 +617,13 @@ def build_parser() -> argparse.ArgumentParser:
     ex.set_defaults(fn=cmd_export)
 
     q = sub.add_parser("quantize", help="FP32 checkpoint -> PQ checkpoint")
-    q.add_argument("checkpoint")
+    q.add_argument("checkpoint",
+                   help="native checkpoint, or a Caffe .caffemodel "
+                        "(requires --arch)")
     q.add_argument("out")
+    q.add_argument("--arch", default=None,
+                   help="zoo architecture name for .caffemodel input "
+                        "(e.g. vgg16, alexnet)")
     q.add_argument("--conv-subvec-len", type=int, default=8)
     q.add_argument("--conv-codewords", type=int, default=128)
     q.add_argument("--fc-subvec-len", type=int, default=4)

@@ -226,24 +226,37 @@ def accuracy_at_k(
 def evaluate_dataset(
     forward_fn,
     params,
-    images: np.ndarray,
+    images,
     labels: np.ndarray,
     *,
     batch_size: int = 64,
+    ks: Sequence[int] = (1, 2, 3, 4, 5),
 ) -> dict:
     """Batched dataset evaluation (UT_CaffeEva analogue with real batching;
-    the reference fixes batch=1, CaffeEva.cc:23)."""
-    n = images.shape[0]
-    all_probs = []
+    the reference fixes batch=1, CaffeEva.cc:23).
+
+    ``images`` is either an in-memory (N, H, W, C) array or an ITERATOR of
+    row-chunk arrays (e.g. ``formats.read_bin_batches`` over the 500 MB
+    ILSVRC val blob) — accuracy is accumulated per batch so nothing
+    proportional to the dataset ever materializes.  A chunk larger than
+    ``batch_size`` is re-split; a final ragged batch runs as-is."""
+    if isinstance(images, np.ndarray):
+        images = (images[i : i + batch_size]
+                  for i in range(0, images.shape[0], batch_size))
     timers = TimerSet()
-    for i in range(0, n, batch_size):
-        xb = jnp.asarray(images[i : i + batch_size])
-        with timers.time("forward"):
-            pb = forward_fn(params, xb)
-            pb = np.asarray(pb)
-        all_probs.append(pb)
-    probs = np.concatenate(all_probs, axis=0)
-    acc = accuracy_at_k(probs, labels[:n])
+    n = 0
+    hits = {k: 0 for k in ks}
+    for chunk in images:
+        for j in range(0, chunk.shape[0], batch_size):
+            xb = jnp.asarray(chunk[j : j + batch_size])
+            lb = labels[n : n + xb.shape[0]]
+            with timers.time("forward"):
+                pb = np.asarray(forward_fn(params, xb))
+            order = np.argsort(-pb, axis=1)
+            for k in ks:
+                hits[k] += int((order[:, :k] == lb[:, None]).any(axis=1).sum())
+            n += xb.shape[0]
+    acc = {k: hits[k] / max(n, 1) for k in ks}
     report = timers.report()
     return {
         "accuracy": acc,

@@ -66,6 +66,32 @@ def read_bin(path: str | os.PathLike, dtype) -> np.ndarray:
     return data.astype(dtype, copy=False).reshape(dims)
 
 
+def read_bin_batches(
+    path: str | os.PathLike, dtype, batch_rows: int
+):
+    """Stream a reference ``.bin`` tensor in axis-0 chunks of ``batch_rows``
+    rows without materializing the whole tensor (the 500 MB ILSVRC val set
+    does not need to live in RAM to be evaluated; the reference reads the
+    whole blob too, FileIO.h:110-178 — streaming is the TPU-batch upgrade).
+    Yields np.ndarray of shape (<=batch_rows, *dims[1:])."""
+    dtype = np.dtype(dtype)
+    with open(path, "rb") as f:
+        dims = _read_header(f)
+        row_elems = int(np.prod(dims[1:])) if len(dims) > 1 else 1
+        tail = tuple(dims[1:])
+        for start in range(0, dims[0], batch_rows):
+            rows = min(batch_rows, dims[0] - start)
+            data = np.fromfile(
+                f, dtype=dtype.newbyteorder("<"), count=rows * row_elems
+            )
+            if data.size != rows * row_elems:
+                raise ValueError(
+                    f"{path}: truncated at row {start} "
+                    f"(wanted {rows * row_elems}, got {data.size})"
+                )
+            yield data.astype(dtype, copy=False).reshape((rows,) + tail)
+
+
 def write_bin(path: str | os.PathLike, arr: np.ndarray) -> None:
     """Write a reference ``.bin`` tensor (FileIO.h:229-278)."""
     arr = np.ascontiguousarray(arr)

@@ -98,9 +98,19 @@ def quantize_input_weighted(
         lambda l, ck: jax.scipy.linalg.solve_triangular(l.T, ck.T, lower=False).T
     )(chol, res.centroids)
     quantized = jnp.take_along_axis(c, res.assignments[..., None], axis=1)
-    resp_mse = jnp.mean(
-        jnp.einsum("sbd,snd->snb", x_sub, w_sub - quantized) ** 2
-    )
+    # accumulate the response MSE sub-space by sub-space: materializing the
+    # full (S, N, B) error tensor is ~52 GB for VGG-16 fc6 geometry
+    err = w_sub - quantized
+
+    def _mse_body(si, acc):
+        e = jnp.einsum(
+            "bd,nd->bn", x_sub[si], err[si],
+            preferred_element_type=jnp.float32,
+        )
+        return acc + jnp.sum(e * e)
+
+    total = jax.lax.fori_loop(0, x_sub.shape[0], _mse_body, jnp.float32(0.0))
+    resp_mse = total / (err.shape[0] * err.shape[1] * x_sub.shape[1])
     return PQResult(c, res.assignments.T, resp_mse)
 
 
@@ -121,11 +131,13 @@ def quantize_error_corrected(
     """Error-corrected PQ: alternate per-sub-space refits against the residual
     layer response (block coordinate descent on ||X·W − X·Ŵ||²).
 
-    Scalability note: holds the per-sub-space response tensor (S, B, N) in
-    memory — e.g. fc7-sized S=1024, B=512, N=4096 is ~8.6 GB f32, fine on
-    host RAM where calibration runs (CLI --cpu), but would need sub-space
-    chunking to run on-device. Quantization is offline; this is the
-    intended deployment shape."""
+    Memory shape: O(B·N) — only the TOTAL approximate response is kept, and
+    sub-space si's contribution is recomputed from its (unchanged-this-round)
+    codebook when its residual is needed, then the total is updated in place.
+    Algorithmically identical to materializing the per-sub-space (S, B, N)
+    tensor (which is ~52 GB f32 at VGG-16 fc6 geometry: S=6272, B=512,
+    N=4096); the total is re-summed fresh at each round start so incremental
+    update error cannot accumulate across rounds."""
     s_cnt, k_cnt = num_subspaces, num_codewords
     w_sub = _split_subvectors(w_units_in, num_subspaces)      # (S, N, D)
     x_sub = _split_subvectors(xcal, num_subspaces)            # (S, B, D)
@@ -141,11 +153,13 @@ def quantize_error_corrected(
     codebooks = init.codebooks                       # (S, K, D)
     assigns = init.assignments.T                     # (S, N)
 
-    # target responses: y[s] = X_s W_sᵀ, total y = Σ_s y[s]  (B, N)
-    y_per_s = jnp.einsum(
-        "sbd,snd->sbn", x_sub, w_sub, preferred_element_type=jnp.float32
+    # target responses y = X Wᵀ as ONE dense GEMM over the flattened
+    # (zero-padded) feature axis — never the per-sub-space (S, B, N) tensor
+    x_flat = jnp.transpose(x_sub, (1, 0, 2)).reshape(b, s_cnt * d)
+    w_flat = jnp.transpose(w_sub, (1, 0, 2)).reshape(n_units, s_cnt * d)
+    y_total = jnp.einsum(
+        "bf,nf->bn", x_flat, w_flat, preferred_element_type=jnp.float32
     )
-    y_total = y_per_s.sum(axis=0)
 
     gram = jnp.einsum(
         "sbd,sbe->sde", x_sub, x_sub, preferred_element_type=jnp.float32
@@ -153,18 +167,27 @@ def quantize_error_corrected(
     tr = jnp.trace(gram, axis1=1, axis2=2)[:, None, None] / d
     gram = gram + (ridge * tr + 1e-8) * jnp.eye(d)
 
-    def approx_per_s(codebooks, assigns):
-        cw = jnp.take_along_axis(codebooks, assigns[..., None], axis=1)  # (S,N,D)
+    def subspace_response(si, codebooks, assigns):
+        """(B, N) response of sub-space si under the current quantization."""
+        cw = codebooks[si][assigns[si]]              # (N, D)
         return jnp.einsum(
-            "sbd,snd->sbn", x_sub, cw, preferred_element_type=jnp.float32
+            "bd,nd->bn", x_sub[si], cw, preferred_element_type=jnp.float32
+        )
+
+    def approx_total(codebooks, assigns):
+        return jax.lax.fori_loop(
+            0, s_cnt,
+            lambda si, acc: acc + subspace_response(si, codebooks, assigns),
+            jnp.zeros((b, n_units), jnp.float32),
         )
 
     def round_body(_, state):
         codebooks, assigns = state
 
         def per_subspace(si, state):
-            codebooks, assigns, approx = state
-            resid = y_total - (approx.sum(axis=0) - approx[si])  # (B, N)
+            codebooks, assigns, total = state
+            approx_si = subspace_response(si, codebooks, assigns)
+            resid = y_total - (total - approx_si)                # (B, N)
             xs = x_sub[si]                                       # (B, D)
             # 1) re-assign: codeword responses (B, K) vs residual targets
             cand = jnp.einsum(
@@ -182,7 +205,7 @@ def quantize_error_corrected(
             onehot = jax.nn.one_hot(a_new, k_cnt, dtype=xs.dtype)   # (N, K)
             counts = onehot.sum(axis=0)                             # (K,)
             rhs = jnp.einsum(
-                "bd,bn,nk->kd", xs, resid, onehot,
+                "db,bk->kd", xs.T, resid @ onehot,
                 preferred_element_type=jnp.float32,
             ) / jnp.maximum(counts, 1.0)[:, None]
             # solve G·c = rhs per codeword (G is shared across codewords)
@@ -192,23 +215,23 @@ def quantize_error_corrected(
             c_new = jnp.where(counts[:, None] > 0, c_new, codebooks[si])
             codebooks = codebooks.at[si].set(c_new)
             assigns = assigns.at[si].set(a_new)
-            approx_si = jnp.einsum(
+            approx_si_new = jnp.einsum(
                 "bd,nd->bn", xs, c_new[a_new],
                 preferred_element_type=jnp.float32,
             )
-            approx = approx.at[si].set(approx_si)
-            return codebooks, assigns, approx
+            total = total - approx_si + approx_si_new
+            return codebooks, assigns, total
 
-        approx = approx_per_s(codebooks, assigns)
         codebooks, assigns, _ = jax.lax.fori_loop(
-            0, s_cnt, per_subspace, (codebooks, assigns, approx)
+            0, s_cnt, per_subspace,
+            (codebooks, assigns, approx_total(codebooks, assigns)),
         )
         return codebooks, assigns
 
     codebooks, assigns = jax.lax.fori_loop(
         0, rounds, round_body, (codebooks, assigns)
     )
-    resp_mse = jnp.mean((y_total - approx_per_s(codebooks, assigns).sum(0)) ** 2)
+    resp_mse = jnp.mean((y_total - approx_total(codebooks, assigns)) ** 2)
     return PQResult(codebooks, assigns.T.astype(jnp.int32), resp_mse)
 
 

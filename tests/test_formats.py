@@ -165,3 +165,23 @@ class TestNativeCodecParity:
             out_numpy = rc._unpack_pages_numpy(pages_native, n, bits)
             np.testing.assert_array_equal(out_native, out_numpy)
             np.testing.assert_array_equal(out_native, vals)
+
+
+class TestStreamingRead:
+    def test_read_bin_batches_matches_read_bin(self, rng, tmp_path):
+        """Chunked streaming must reproduce the whole-tensor read exactly,
+        including a ragged final batch (10 rows, chunks of 4 -> 4+4+2)."""
+        arr = rng.standard_normal((10, 3, 5, 7)).astype(np.float32)
+        path = str(tmp_path / "t.bin")
+        rc.write_bin(path, arr)
+        chunks = list(rc.read_bin_batches(path, np.float32, 4))
+        assert [c.shape[0] for c in chunks] == [4, 4, 2]
+        assert all(c.shape[1:] == arr.shape[1:] for c in chunks)
+        np.testing.assert_array_equal(np.concatenate(chunks), arr)
+
+    def test_read_bin_batches_1d(self, rng, tmp_path):
+        labels = rng.integers(0, 1000, 9).astype(np.uint16)
+        path = str(tmp_path / "l.bin")
+        rc.write_bin(path, labels)
+        chunks = list(rc.read_bin_batches(path, np.uint16, 5))
+        np.testing.assert_array_equal(np.concatenate(chunks), labels)
