@@ -8,7 +8,15 @@ SURVEY.md §2a, so the whole op library (decode / onehot / gather / pallas)
 applies unchanged.
 
 Attention itself (QK^T, softmax, AV) has no weights and runs as plain
-jnp/XLA — flash-style tiling is unnecessary at 197 tokens.
+unpadded jnp/XLA. This is a measured choice (docs/KERNEL_STUDIES.md §7
+round-2 addendum): at ViT-B/16 batch-64 bf16 the core is HBM-bandwidth
+bound on the (B, H, N, N) f32 logits round-trip (~0.52 ms/block ≈ the
+~360 MB traffic floor), so neither 197→256 key/value tile padding
+(0.542 vs 0.517 ms, E2E neutral) nor the stock Pallas flash-attention
+kernel (0.97–1.21 ms across block_b 1–16; grid-overhead dominated at 197
+tokens) beats it. `_masked_attention` keeps the exact-numerics additive
+-inf padding formulation (exp(-inf) = 0, max/denominator see only real
+keys) for geometries that do want alignment.
 """
 
 from __future__ import annotations
@@ -111,6 +119,30 @@ def _layernorm(x, p, eps=1e-6):
     return (y * p["scale"] + p["shift"]).astype(x.dtype)
 
 
+def _masked_attention(q, k, v, n_pad: int):
+    """(B, N, H, hd) q/k/v -> (B, N, H, hd); keys/values zero-padded by
+    n_pad tokens with an additive -inf mask. exp(-inf) = 0 and the softmax
+    max/denominator come only from real keys, so any n_pad yields outputs
+    identical to n_pad=0 (tested in test_model_families.py) — padding is
+    purely an MXU tile-alignment choice (197 -> 256 for ViT-B/16)."""
+    hd = q.shape[-1]
+    if n_pad:
+        k = jnp.pad(k, ((0, 0), (0, n_pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, n_pad), (0, 0), (0, 0)))
+    att = jnp.einsum(
+        "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+    ) / np.sqrt(hd)
+    if n_pad:
+        mask = jnp.concatenate(
+            [jnp.zeros(k.shape[1] - n_pad), jnp.full(n_pad, -jnp.inf)]
+        ).astype(jnp.float32)
+        att = att + mask
+    att = jax.nn.softmax(att, axis=-1).astype(v.dtype)
+    return jnp.einsum(
+        "bhnm,bmhd->bnhd", att, v, preferred_element_type=jnp.float32
+    )
+
+
 def _proj(x, p):
     """(…, Cin) @ gemm -> (…, Cout), PQ or dense."""
     lead = x.shape[:-1]
@@ -157,6 +189,9 @@ def forward(
 
     nh = spec.heads
     hd = spec.dim // nh
+    # unpadded: the core is logits-bandwidth bound, and 197->256 key/value
+    # padding measured neutral-to-worse (module docstring; KERNEL_STUDIES §7)
+    n_pad = 0
     for i in range(spec.depth):
         blk = params[f"blk{i}"]
         # attention — head split via reshape only; the contractions carry
@@ -168,13 +203,7 @@ def forward(
         q = q.reshape(b, -1, nh, hd)
         k = k.reshape(b, -1, nh, hd)
         v = v.reshape(b, -1, nh, hd)
-        att = jnp.einsum(
-            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
-        ) / np.sqrt(hd)
-        att = jax.nn.softmax(att, axis=-1).astype(v.dtype)
-        o = jnp.einsum(
-            "bhnm,bmhd->bnhd", att, v, preferred_element_type=jnp.float32
-        )
+        o = _masked_attention(q, k, v, n_pad)
         o = cast(o.reshape(b, -1, spec.dim))
         x = x + cast(_proj(o, blk["out"]))
         # mlp

@@ -127,6 +127,20 @@ class TestViT:
         rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
         assert rel < 0.6
 
+    def test_masked_attention_padding_is_exact(self):
+        # the -inf key mask must make padded attention IDENTICAL to
+        # unpadded (not just close): padded keys get softmax weight
+        # exp(-inf)=0 and the max/denominator see only real keys
+        rng = np.random.default_rng(7)
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((2, 17, 4, 8)), jnp.float32)
+            for _ in range(3)
+        )
+        ref = np.asarray(vit._masked_attention(q, k, v, 0))
+        for n_pad in (1, 111, 239):
+            got = np.asarray(vit._masked_attention(q, k, v, n_pad))
+            np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
     def test_bf16_compute_path(self, tiny):
         spec, dense, x = tiny
         out = np.asarray(
