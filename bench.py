@@ -47,7 +47,8 @@ def load_params():
         return spec, synth.random_pq_params(spec, seed=0)
 
 
-def measure_per_step(spec, params, x, conv_impls, fc_impls, dtype, k1, k2):
+def measure_per_step(spec, params, x, conv_impls, fc_impls, dtype, k1, k2,
+                     dp: int = 0):
     from qcnn_tpu.models import network
     from qcnn_tpu.utils.devtime import time_device_fn
 
@@ -60,12 +61,40 @@ def measure_per_step(spec, params, x, conv_impls, fc_impls, dtype, k1, k2):
             conv_impls=conv_impls, fc_impls=fc_impls, compute_dtype=dtype,
         )
 
+    if dp:
+        step = dp_wrap(step, dp)
     # reps=5: each rep is two ~30 ms fetches once compiled; the extra
     # samples damp the shared chip's run-to-run variance (~±10 %)
     return time_device_fn(step, x, params, k1=k1, k2=k2, reps=5)
 
 
-def bench_family(model: str, batch: int, dtype, k1: int, k2: int):
+def dp_wrap(step, dp: int):
+    """Wrap step(x, params) with batch sharding over a dp-device data axis —
+    the ready-to-run multi-chip scaling harness (SURVEY §2b-1). On this rig
+    one real chip is attached, so dp>1 runs on the virtual CPU mesh
+    (JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=N);
+    on real multi-chip hardware the same flag measures true scaling."""
+    import jax
+
+    from qcnn_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    devices = jax.devices()
+    if dp > len(devices):
+        raise SystemExit(
+            f"--dp {dp} > {len(devices)} visible devices "
+            f"(set XLA_FLAGS=--xla_force_host_platform_device_count)"
+        )
+    mesh = make_mesh(devices[:dp], dp=dp, tp=1)
+
+    def fn(x, params):
+        x = jax.lax.with_sharding_constraint(x, batch_sharding(mesh, x.ndim))
+        return step(x, params)
+
+    return fn
+
+
+def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
+                 dp: int = 0):
     """Throughput for the ResNet/ViT PQ families (synthetic weights —
     no pretrained checkpoints ship offline; timing is weight-agnostic)."""
     import jax
@@ -101,6 +130,8 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int):
                 compute_dtype=act_dtype,
             )
 
+        if dp:
+            step = dp_wrap(step, dp)
         return time_device_fn(step, x, prepared, k1=k1, k2=k2), spec
     if model.startswith("resnet"):
         from qcnn_tpu.models import resnet as fam
@@ -122,6 +153,8 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int):
     def step(x, params):
         return fam.forward(params, x, spec=spec, compute_dtype=fam_act)
 
+    if dp:
+        step = dp_wrap(step, dp)
     return time_device_fn(step, x, prepared, k1=k1, k2=k2), spec
 
 
@@ -138,10 +171,33 @@ def main() -> None:
                     choices=["bfloat16", "float32", "int8"])
     ap.add_argument("--k1", type=int, default=4)
     ap.add_argument("--k2", type=int, default=20)
+    ap.add_argument("--dp", type=int, default=0,
+                    help="shard the batch over N devices on a (data,) mesh "
+                         "(scaling harness; needs N visible devices)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on a virtual CPU mesh (pairs with --dp N; "
+                         "device count = max(dp, 8))")
     args = ap.parse_args()
+
+    if args.cpu:
+        # same dance as tests/conftest.py: the axon sitecustomize imports
+        # jax at interpreter start, so the env var alone is too late —
+        # jax.config.update works post-import; XLA_FLAGS is read lazily at
+        # CPU-backend init, which has not happened yet
+        import os as _os
+
+        n = max(args.dp, 8)
+        flags = _os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            _os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n}"
+            ).strip()
 
     import jax
     import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from qcnn_tpu.models import synth
     from qcnn_tpu.models.prepare import prepare_params
@@ -152,7 +208,8 @@ def main() -> None:
     if args.model != "alexnet":
         try:
             per_step, spec = bench_family(
-                args.model, args.batch, dtype_arg, args.k1, args.k2
+                args.model, args.batch, dtype_arg, args.k1, args.k2,
+                dp=args.dp,
             )
         except NotImplementedError as e:
             log(f"error: {e}")
@@ -166,6 +223,7 @@ def main() -> None:
             "vs_baseline": None,
             "batch": args.batch,
             "device": str(jax.devices()[0].platform),
+            **({"dp": args.dp} if args.dp else {}),
         }))
         return
     spec, params = load_params()
@@ -202,7 +260,7 @@ def main() -> None:
     t_start = _time.perf_counter()
     per_step = measure_per_step(
         spec, prepared, synth.random_input(spec, args.batch, seed=1),
-        conv_impls, fc_impls, act_dtype, args.k1, args.k2,
+        conv_impls, fc_impls, act_dtype, args.k1, args.k2, dp=args.dp,
     )
     imgs_per_sec = args.batch / per_step
     log(f"batch={args.batch}: {per_step*1e3:.3f} ms/step, "
@@ -239,6 +297,7 @@ def main() -> None:
             round(per_step1 * 1e3, 4) if per_step1 is not None else None
         ),
         "device": str(jax.devices()[0].platform),
+        **({"dp": args.dp} if args.dp else {}),
     }))
 
 
