@@ -407,7 +407,8 @@ def cmd_serve(args) -> int:
     from qcnn_tpu.serve.http import serve as http_serve
 
     config = EngineConfig(
-        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        max_queue=args.max_queue, deadline_ms=args.deadline_ms
     )
     preprocessor = None
     class_names = None
@@ -658,6 +659,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--port", type=int, default=8000)
     s.add_argument("--max-batch", type=int, default=64)
     s.add_argument("--max-wait-ms", type=float, default=2.0)
+    s.add_argument("--max-queue", type=int, default=0,
+                   help="bound the request queue; beyond it /classify "
+                        "returns 503 (0 = unbounded)")
+    s.add_argument("--deadline-ms", type=float, default=0.0,
+                   help="default per-request deadline; expired requests "
+                        "get 504 without spending a batch slot (0 = none)")
     s.set_defaults(fn=cmd_serve)
 
     rt = sub.add_parser("route",

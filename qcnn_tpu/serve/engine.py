@@ -39,12 +39,31 @@ class _ShapeOnlySpec:
     in_channels: int
 
 
+class EngineOverloaded(RuntimeError):
+    """Raised by submit() when the bounded request queue is full.
+
+    Backpressure contract: the caller sheds load (HTTP layer maps this to
+    503) instead of queueing unboundedly — queue growth past what the
+    device can drain only converts overload into timeout storms."""
+
+
+class DeadlineExceeded(RuntimeError):
+    """Set on a request future whose deadline passed before dispatch.
+
+    Expired requests are dropped at pop time, so a backlog never spends
+    device batches computing answers nobody is waiting for."""
+
+
 @dataclasses.dataclass
 class EngineConfig:
     max_batch: int = 64
     max_wait_ms: float = 2.0
     buckets: Optional[tuple[int, ...]] = None  # default: 1,8,32,...,max_batch
     with_softmax: bool = True
+    max_queue: int = 0        # 0 = unbounded; else submit() raises
+                              # EngineOverloaded when this many are pending
+    deadline_ms: float = 0.0  # 0 = none; default per-request deadline
+                              # (submit(deadline_ms=...) overrides)
 
     def bucket_ladder(self) -> tuple[int, ...]:
         if self.buckets:
@@ -91,10 +110,13 @@ class BatchingEngine:
         return self
 
     def _init_runtime(self) -> None:
-        self._queue: queue.Queue = queue.Queue()
+        self._queue: queue.Queue = queue.Queue(
+            maxsize=self.config.max_queue or 0
+        )
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
-        self.stats = {"requests": 0, "batches": 0, "padded_waste": 0}
+        self.stats = {"requests": 0, "batches": 0, "padded_waste": 0,
+                      "rejected": 0, "expired": 0}
         self._latencies_ms: list[float] = []  # dispatch->result, recent
 
     def __init__(
@@ -174,7 +196,7 @@ class BatchingEngine:
         # callers until the full classify() timeout.
         while True:
             try:
-                _, fut = self._queue.get_nowait()
+                _, fut, _ = self._queue.get_nowait()
             except queue.Empty:
                 break
             if not fut.done():
@@ -188,19 +210,42 @@ class BatchingEngine:
 
     # -- client API --------------------------------------------------------
 
-    def submit(self, image_nhwc: np.ndarray) -> Future:
+    def submit(
+        self,
+        image_nhwc: np.ndarray,
+        *,
+        deadline_ms: Optional[float] = None,
+    ) -> Future:
         """Enqueue one (H, W, C) image; resolves to a (num_classes,) probs
-        vector."""
+        vector. Raises EngineOverloaded when the bounded queue is full;
+        the future fails with DeadlineExceeded if `deadline_ms` (default:
+        config.deadline_ms) passes before dispatch."""
         if image_nhwc.ndim != 3:
             raise ValueError(f"expected HWC image, got {image_nhwc.shape}")
         if self._stop.is_set():
             raise RuntimeError("engine is stopped")
+        if deadline_ms is None:
+            deadline_ms = self.config.deadline_ms
+        expiry = (
+            time.perf_counter() + deadline_ms / 1e3 if deadline_ms else None
+        )
         fut: Future = Future()
-        self._queue.put((np.asarray(image_nhwc, np.float32), fut))
+        try:
+            self._queue.put_nowait(
+                (np.asarray(image_nhwc, np.float32), fut, expiry)
+            )
+        except queue.Full:
+            self.stats["rejected"] += 1
+            raise EngineOverloaded(
+                f"request queue full ({self.config.max_queue} pending)"
+            ) from None
         return fut
 
-    def classify(self, image_nhwc: np.ndarray, timeout: float = 600.0):
-        return self.submit(image_nhwc).result(timeout=timeout)
+    def classify(self, image_nhwc: np.ndarray, timeout: float = 600.0,
+                 *, deadline_ms: Optional[float] = None):
+        return self.submit(image_nhwc, deadline_ms=deadline_ms).result(
+            timeout=timeout
+        )
 
     def warmup(self) -> None:
         """Compile every bucket program up front (one dummy run each)."""
@@ -219,13 +264,32 @@ class BatchingEngine:
                 return b
         return self._buckets[-1]
 
+    def _pop_live(self, timeout: float):
+        """Pop the next request whose deadline has not passed; expired ones
+        fail with DeadlineExceeded instead of wasting a batch slot."""
+        t_end = time.perf_counter() + timeout
+        while True:
+            remaining = t_end - time.perf_counter()
+            if remaining <= 0:
+                raise queue.Empty
+            item = self._queue.get(timeout=remaining)
+            expiry = item[2]
+            if expiry is not None and time.perf_counter() > expiry:
+                self.stats["expired"] += 1
+                if not item[1].done():
+                    item[1].set_exception(
+                        DeadlineExceeded("deadline passed before dispatch")
+                    )
+                continue
+            return item
+
     def _dispatch_loop(self) -> None:
         import jax.numpy as jnp
 
         cfg = self.config
         while not self._stop.is_set():
             try:
-                first = self._queue.get(timeout=0.05)
+                first = self._pop_live(timeout=0.05)
             except queue.Empty:
                 continue
             batch = [first]
@@ -236,7 +300,7 @@ class BatchingEngine:
                 if remaining <= 0:
                     break
                 try:
-                    batch.append(self._queue.get(timeout=remaining))
+                    batch.append(self._pop_live(timeout=remaining))
                 except queue.Empty:
                     break
             images = np.stack([b[0] for b in batch])

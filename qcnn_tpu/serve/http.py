@@ -16,7 +16,9 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from qcnn_tpu.serve.engine import BatchingEngine
+from qcnn_tpu.serve.engine import (
+    BatchingEngine, DeadlineExceeded, EngineOverloaded,
+)
 
 
 def make_handler(engine: BatchingEngine, preprocessor, top_k: int,
@@ -77,7 +79,20 @@ def make_handler(engine: BatchingEngine, preprocessor, top_k: int,
                 self._json(400, {"error": f"bad image: {e}"})
                 return
             try:
-                probs = engine.classify(img)
+                deadline_hdr = self.headers.get("X-Deadline-Ms")
+                probs = engine.classify(
+                    img,
+                    deadline_ms=(
+                        float(deadline_hdr) if deadline_hdr else None
+                    ),
+                )
+            except EngineOverloaded as e:
+                # backpressure: shed load instead of queueing unboundedly
+                self._json(503, {"error": str(e)})
+                return
+            except DeadlineExceeded as e:
+                self._json(504, {"error": str(e)})
+                return
             except Exception as e:  # noqa: BLE001
                 self._json(500, {"error": str(e)})
                 return

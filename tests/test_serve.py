@@ -273,6 +273,51 @@ def test_stop_drains_pending_futures(tiny_spec, rng):
         fut.result(timeout=5)
 
 
+def test_backpressure_rejects_when_queue_full(tiny_spec, rng):
+    """Bounded queue: submit() raises EngineOverloaded instead of queueing
+    unboundedly (the HTTP layer maps this to 503)."""
+    from qcnn_tpu.serve.engine import EngineOverloaded
+
+    eng = BatchingEngine(
+        tiny_spec, synth.random_pq_params(tiny_spec, seed=2),
+        config=EngineConfig(max_batch=2, max_queue=2),
+    )
+    # not started: nothing drains, so the 3rd submit must bounce
+    img = rng.standard_normal((11, 11, 4)).astype(np.float32)
+    eng.submit(img)
+    eng.submit(img)
+    with pytest.raises(EngineOverloaded, match="queue full"):
+        eng.submit(img)
+    assert eng.stats["rejected"] == 1
+    eng.stop()
+
+
+def test_deadline_expired_requests_are_dropped(tiny_spec, rng):
+    """A request whose deadline passes before dispatch fails with
+    DeadlineExceeded and never spends a batch slot; live requests queued
+    behind it still get answers."""
+    import time
+
+    from qcnn_tpu.serve.engine import DeadlineExceeded
+
+    eng = BatchingEngine(
+        tiny_spec, synth.random_pq_params(tiny_spec, seed=2),
+        config=EngineConfig(max_batch=2, max_wait_ms=1.0),
+    )
+    img = rng.standard_normal((11, 11, 4)).astype(np.float32)
+    # enqueue BEFORE starting so the deadline can expire deterministically
+    doomed = eng.submit(img, deadline_ms=1.0)
+    alive = eng.submit(img)  # no deadline
+    time.sleep(0.05)
+    eng.start()
+    probs = alive.result(timeout=60)
+    assert probs.shape == (10,)
+    with pytest.raises(DeadlineExceeded):
+        doomed.result(timeout=5)
+    assert eng.stats["expired"] == 1
+    eng.stop()
+
+
 class TestRouter:
     def test_balances_and_fails_over(self, tiny_spec, rng):
         from qcnn_tpu.serve.router import serve_router
