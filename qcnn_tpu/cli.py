@@ -233,7 +233,7 @@ def cmd_import(args) -> int:
     if res.synthesized_layers:
         log(f"[WARN] synthesized assignments for layers "
             f"{res.synthesized_layers}")
-    save_checkpoint(args.checkpoint, spec, res.params)
+    save_checkpoint(args.checkpoint, spec, res.params, store=args.store)
     # self-contained serving artifact: embed preprocessing + class names
     # when the reference layout provides them
     try:
@@ -352,7 +352,7 @@ def cmd_quantize(args) -> int:
             continue
         out_params.append(q)
         log(f"layer {i} ({type(layer).__name__}): quantized")
-    save_checkpoint(args.out, spec, out_params)
+    save_checkpoint(args.out, spec, out_params, store=args.store)
     log(f"wrote PQ checkpoint {args.out}")
     return 0
 
@@ -389,7 +389,7 @@ def cmd_make_family(args) -> int:
         family = "vit"
     dense = fam.init_dense_params(spec, seed=args.seed)
     params = dense if args.dense else fam.quantize_params(spec, dense)
-    save_family_checkpoint(args.out, family, spec, params)
+    save_family_checkpoint(args.out, family, spec, params, store=args.store)
     log(f"wrote {'dense' if args.dense else 'PQ'} {args.model} "
         f"checkpoint {args.out}")
     return 0
@@ -608,6 +608,8 @@ def build_parser() -> argparse.ArgumentParser:
                     default="/root/reference/AlexNet/Bin.Files")
     im.add_argument("--prefix", default="bvlc_alexnet_aCaF")
     im.add_argument("--synthesize-missing", action="store_true")
+    im.add_argument("--store", default="npz", choices=["npz", "orbax"],
+                    help="parameter array store backend")
     im.set_defaults(fn=cmd_import)
 
     ex = sub.add_parser("export", help="native checkpoint -> reference files")
@@ -635,6 +637,8 @@ def build_parser() -> argparse.ArgumentParser:
                         '\'{"21": {"subvec_len": 1, "codewords": 16}}\'')
     q.add_argument("--cpu", action="store_true",
                    help="run the quantizer on the host CPU")
+    q.add_argument("--store", default="npz", choices=["npz", "orbax"],
+                   help="parameter array store backend")
     q.set_defaults(fn=cmd_quantize)
 
     mf = sub.add_parser("make-family",
@@ -647,6 +651,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="skip quantization (FP32 checkpoint)")
     mf.add_argument("--cpu", action="store_true",
                     help="run the quantizer on the host CPU")
+    mf.add_argument("--store", default="npz", choices=["npz", "orbax"],
+                    help="parameter array store backend")
     mf.set_defaults(fn=cmd_make_family)
 
     s = sub.add_parser("serve", help="continuous-batching HTTP daemon")

@@ -94,6 +94,44 @@ def unpack_indices(
 
 
 # ---------------------------------------------------------------------------
+# Array stores: npz (default) and Orbax/TensorStore (the SURVEY §5 north-star
+# checkpoint backend — Zarr-style chunked OCDBT store, multi-host-safe and
+# async-capable). Both hold the SAME flat {key: array} dict the manifest
+# describes; load auto-detects which store is present.
+# ---------------------------------------------------------------------------
+
+_ORBAX_DIR = "params_ts"
+
+
+def _write_arrays(path: str, arrays: dict, store: str) -> None:
+    if store == "npz":
+        np.savez_compressed(os.path.join(path, "params.npz"), **arrays)
+    elif store == "orbax":
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        target = os.path.abspath(os.path.join(path, _ORBAX_DIR))
+        if os.path.exists(target):  # orbax refuses to overwrite
+            shutil.rmtree(target)
+        ocp.PyTreeCheckpointer().save(target, arrays)
+    else:
+        raise ValueError(f"unknown array store {store!r}")
+
+
+def _read_arrays(path: str):
+    npz = os.path.join(path, "params.npz")
+    if os.path.exists(npz):
+        return np.load(npz)
+    ts = os.path.join(path, _ORBAX_DIR)
+    if os.path.isdir(ts):
+        import orbax.checkpoint as ocp
+
+        return ocp.PyTreeCheckpointer().restore(os.path.abspath(ts))
+    raise FileNotFoundError(f"no parameter store under {path}")
+
+
+# ---------------------------------------------------------------------------
 # Family checkpoints (ResNet/ViT): nested-dict params + dataclass spec
 # ---------------------------------------------------------------------------
 
@@ -132,9 +170,12 @@ def _unflatten(flat: dict) -> dict:
     return out
 
 
-def save_family_checkpoint(path: str, family: str, spec, params: dict) -> None:
+def save_family_checkpoint(path: str, family: str, spec, params: dict,
+                           *, store: str = "npz") -> None:
     """Checkpoint for the nested-pytree model families (models/resnet.py,
-    models/vit.py). Assignments are bit-packed like the linear format."""
+    models/vit.py). Assignments are bit-packed like the linear format.
+    store='orbax' writes the arrays to a TensorStore/OCDBT store instead
+    of params.npz (load auto-detects)."""
     if family not in _FAMILY_SPECS:
         raise ValueError(f"unknown family {family!r}")
     os.makedirs(path, exist_ok=True)
@@ -157,7 +198,7 @@ def save_family_checkpoint(path: str, family: str, spec, params: dict) -> None:
             tensor_meta[key] = {
                 "shape": list(arr.shape), "dtype": str(arr.dtype)
             }
-    np.savez_compressed(os.path.join(path, "params.npz"), **arrays)
+    _write_arrays(path, arrays, store)
     with open(os.path.join(path, "spec.json"), "w") as f:
         json.dump(
             {"family": family, **dataclasses.asdict(spec)}, f, indent=1
@@ -165,7 +206,7 @@ def save_family_checkpoint(path: str, family: str, spec, params: dict) -> None:
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(
             {"format_version": FORMAT_VERSION, "family": family,
-             "tensors": tensor_meta}, f
+             "array_store": store, "tensors": tensor_meta}, f
         )
 
 
@@ -181,7 +222,7 @@ def load_family_checkpoint(path: str):
         if isinstance(v, list):
             spec_d[k] = tuple(v)
     spec = _family_spec_cls(family)(**spec_d)
-    data = np.load(os.path.join(path, "params.npz"))
+    data = _read_arrays(path)
     flat = {}
     for key, meta in manifest["tensors"].items():
         arr = data[key]
@@ -245,7 +286,8 @@ def load_act_scales(path: str) -> Optional[dict]:
 
 
 def save_checkpoint(
-    path: str, spec: ModelSpec, params: Sequence[Optional[dict]]
+    path: str, spec: ModelSpec, params: Sequence[Optional[dict]],
+    *, store: str = "npz"
 ) -> None:
     os.makedirs(path, exist_ok=True)
     arrays: dict[str, np.ndarray] = {}
@@ -274,12 +316,13 @@ def save_checkpoint(
                     "dtype": str(arr.dtype),
                 }
         layer_meta.append(meta)
-    np.savez_compressed(os.path.join(path, "params.npz"), **arrays)
+    _write_arrays(path, arrays, store)
     with open(os.path.join(path, "spec.json"), "w") as f:
         json.dump(spec_to_dict(spec), f, indent=1)
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(
-            {"format_version": FORMAT_VERSION, "layers": layer_meta}, f
+            {"format_version": FORMAT_VERSION, "array_store": store,
+             "layers": layer_meta}, f
         )
 
 
@@ -298,7 +341,7 @@ def load_checkpoint(path: str) -> tuple[ModelSpec, list]:
         )
     with open(os.path.join(path, "spec.json")) as f:
         spec = spec_from_dict(json.load(f))
-    data = np.load(os.path.join(path, "params.npz"))
+    data = _read_arrays(path)
     params: list = []
     for i, meta in enumerate(manifest["layers"]):
         if meta is None:

@@ -66,6 +66,65 @@ def test_checkpoint_smaller_than_raw(tmp_path):
     assert npz < raw_asmt * 0.95
 
 
+class TestOrbaxStore:
+    """store='orbax' writes a TensorStore/OCDBT array store (the SURVEY §5
+    north-star checkpoint backend); load auto-detects it from the manifest
+    layout, so the two backends are interchangeable artifacts."""
+
+    def test_linear_roundtrip(self, tmp_path):
+        spec = zoo.get_model("caffenet_fgd")
+        params = synth.random_pq_params(spec, seed=7)
+        path = str(tmp_path / "ockpt")
+        save_checkpoint(path, spec, params, store="orbax")
+        import os
+
+        assert not os.path.exists(os.path.join(path, "params.npz"))
+        assert os.path.isdir(os.path.join(path, "params_ts"))
+        spec2, params2 = load_checkpoint(path)
+        assert spec2 == spec
+        for p, q in zip(params, params2):
+            if p is None:
+                assert q is None
+                continue
+            for k in p:
+                np.testing.assert_array_equal(
+                    np.asarray(p[k]), np.asarray(q[k])
+                )
+
+    def test_family_roundtrip(self, tmp_path):
+        from qcnn_tpu.formats.checkpoint import (
+            load_family_checkpoint, save_family_checkpoint,
+        )
+        from qcnn_tpu.models import vit
+
+        spec = vit.vit_tiny_test()
+        pq = vit.quantize_params(
+            spec, vit.init_dense_params(spec, seed=4), num_codewords=8
+        )
+        path = str(tmp_path / "ofam")
+        save_family_checkpoint(path, "vit", spec, pq, store="orbax")
+        family, spec2, params2 = load_family_checkpoint(path)
+        assert family == "vit" and spec2 == spec
+
+        def cmp(a, b):
+            assert set(a) == set(b)
+            for k in a:
+                if isinstance(a[k], dict):
+                    cmp(a[k], b[k])
+                else:
+                    got = np.asarray(b[k])
+                    np.testing.assert_array_equal(np.asarray(a[k]), got)
+                    assert got.dtype == np.asarray(a[k]).dtype
+
+        cmp(pq, params2)
+
+    def test_unknown_store_rejected(self, tmp_path):
+        spec = zoo.get_model("alexnet")
+        params = synth.random_pq_params(spec, seed=0)
+        with pytest.raises(ValueError, match="unknown array store"):
+            save_checkpoint(str(tmp_path / "x"), spec, params, store="zip")
+
+
 class TestFamilyCheckpoint:
     def test_resnet_roundtrip(self, tmp_path):
         from qcnn_tpu.formats.checkpoint import (
