@@ -287,6 +287,53 @@ def main() -> None:
     else:
         log("skipping batch-1 phase (time budget)")
 
+    # Mode sweep (round-1 weakness: int8/memory-mode claims lived only in
+    # docs). Each extra mode is one more program compile (~20-40 s remote);
+    # run them only while comfortably inside the budget, newest-claim first,
+    # and fold the results into the single driver JSON line.
+    sweep: dict = {}
+    if args.dtype == "bfloat16" and args.conv_impl == "auto" and not args.dp:
+        x_sweep = synth.random_input(spec, args.batch, seed=1)
+
+        def sweep_mode(name, conv_impl, fc_impl, dtype_s, act_dtype_s):
+            if _time.perf_counter() - t_start > budget_s * 0.7:
+                log(f"sweep {name}: skipped (time budget)")
+                return
+            try:
+                scales = None
+                if dtype_s is jnp.int8:
+                    from qcnn_tpu.models.calibrate import (
+                        calibrate_act_scales,
+                    )
+
+                    pb, cb, fb = prepare_params(
+                        spec, params, batch_hint=args.batch,
+                        dtype=jnp.bfloat16,
+                    )
+                    scales = calibrate_act_scales(
+                        spec, jax.device_put(pb),
+                        synth.random_input(spec, 32, seed=3),
+                        conv_impls=cb, fc_impls=fb,
+                    )
+                prep_s, ci_s, fi_s = prepare_params(
+                    spec, params, batch_hint=args.batch,
+                    conv_impl=conv_impl, fc_impl=fc_impl, dtype=dtype_s,
+                    act_scales=scales,
+                )
+                t = measure_per_step(
+                    spec, jax.device_put(prep_s), x_sweep, ci_s, fi_s,
+                    act_dtype_s, args.k1, args.k2,
+                )
+                sweep[name] = round(args.batch / t, 2)
+                log(f"sweep {name}: {args.batch / t:.1f} img/s")
+            except Exception as e:  # noqa: BLE001 - sweep is best-effort
+                log(f"sweep {name} failed: {e}")
+
+        sweep_mode("int8_images_per_sec", "auto", "auto",
+                   jnp.int8, jnp.bfloat16)
+        sweep_mode("memory_mode_images_per_sec", "memory", "memory",
+                   jnp.bfloat16, jnp.bfloat16)
+
     print(json.dumps({
         "metric": "alexnet_pq_images_per_sec",
         "value": round(imgs_per_sec, 2),
@@ -298,6 +345,7 @@ def main() -> None:
         ),
         "device": str(jax.devices()[0].platform),
         **({"dp": args.dp} if args.dp else {}),
+        **sweep,
     }))
 
 

@@ -25,7 +25,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, nargs="+", default=[1, 8, 64, 256])
     ap.add_argument("--impls", nargs="+",
-                    default=["onehot", "gather", "decode", "pallas"])
+                    default=["onehot", "gather", "decode", "pallas"],
+                    help="pq_fc impls; 'decode' times the decode-at-load "
+                         "configuration (weight pre-decoded on the host, "
+                         "dense GEMM only — measured: XLA does NOT hoist "
+                         "an in-graph decode out of the timing loop even "
+                         "when loop-invariant); 'indecode' times the "
+                         "in-graph decode + GEMM with the codebooks "
+                         "loop-perturbed so nothing can be hoisted")
     args = ap.parse_args()
 
     import jax
@@ -44,13 +51,36 @@ def main():
                 0, g["k"], size=(g["cout"], g["s"]), dtype=np.uint8),
             "bias": rng.standard_normal(g["cout"]).astype(np.float32),
         })
+        dense = None
         for b in args.batch:
             x = rng.standard_normal((b, g["cin"])).astype(np.float32)
             row = []
             for impl in args.impls:
-                fn = functools.partial(fc_ops.pq_fc, impl=impl)
                 try:
-                    t = time_device_fn(lambda xx: fn(xx, params), x)
+                    if impl == "decode":
+                        # decode-at-load: host-side decode once, time the
+                        # dense GEMM with the weight as a runtime argument
+                        if dense is None:
+                            cb = np.asarray(params["codebooks"])
+                            asmt = np.asarray(params["assignments"])
+                            s, k, d = cb.shape
+                            w = cb[np.arange(s)[None, :],
+                                   asmt.astype(np.int64)]
+                            w = w.reshape(asmt.shape[0], s * d).T
+                            dense = jax.device_put({
+                                "weight": w[:g["cin"]].copy(),
+                                "bias": np.asarray(params["bias"]),
+                            })
+                        t = time_device_fn(
+                            lambda xx, pp: fc_ops.fc_dense(
+                                xx, pp["weight"], pp["bias"]), x, dense,
+                        )
+                    else:
+                        fn = functools.partial(fc_ops.pq_fc, impl=impl)
+                        t = time_device_fn(
+                            lambda xx, pp: fn(xx, pp), x, params,
+                            perturb_rest=(impl == "indecode"),
+                        )
                     row.append(f"{t*1e6:11.1f}u")
                 except Exception as e:  # noqa: BLE001
                     print(f"{name} B={b} {impl}: {type(e).__name__}: "

@@ -51,22 +51,23 @@ from qcnn_tpu.ops import (
 # every batch size — any gather realization pays ~S*K*Cout VPU select ops,
 # ~170x slower per element than MXU MACs. The LUT paths remain as explicit
 # memory-mode options (codebooks+assignments are ~21x smaller than dense);
-# "memory" picks the best measured memory-mode kernel per layer geometry
-# and batch (docs/KERNEL_STUDIES.md §9).
-CONV_IMPLS = ("decode", "lut")
-FC_IMPLS = ("onehot", "gather", "decode", "pallas", "fused", "memory")
+# "indecode" keeps the compressed PQ params resident in HBM and decodes the
+# dense weight INSIDE the jitted step (dense copy is a per-layer transient,
+# never stored); "memory" picks the best measured memory-mode kernel per
+# layer geometry and batch (docs/KERNEL_STUDIES.md §9).
+CONV_IMPLS = ("decode", "indecode", "lut", "memory")
+FC_IMPLS = ("onehot", "gather", "decode", "indecode", "pallas", "fused",
+            "memory")
 
 
 def _memory_fc_impl(p: dict, batch: int) -> str:
-    """Best measured memory-mode FC kernel for this geometry/batch
-    (KERNEL_STUDIES §9): the fused decode-GEMM kernel wins at large batch
-    (dense-FLOP contraction, 1/8 weight bytes) and everywhere when D == 1
-    (fc8-style scalar subspaces); the VMEM one-hot kernel wins the small-
-    batch D>1 geometries where the LUT is tiny and reused."""
-    d = int(p["codebooks"].shape[2])
-    if d == 1 or batch >= 128:
-        return "fused"
-    return "pallas"
+    """Best measured memory-mode FC kernel (KERNEL_STUDIES §9b): in-step
+    one-hot decode + dense GEMM ('indecode') beats the Pallas fused/onehot
+    kernels at every AlexNet FC geometry and batch (end-to-end full memory
+    mode: 41.5k img/s batch-256 vs 39.0k with fused FCs; 0.81 ms batch-1 vs
+    0.88 with pallas FCs). The geometry/batch arguments remain for future
+    per-layer overrides."""
+    return "indecode"
 
 
 def resolve_strategy(
@@ -85,6 +86,12 @@ def resolve_strategy(
                 conv_choices.append("dense")
             elif conv_impl == "auto":
                 conv_choices.append("decode")
+            elif conv_impl == "memory":
+                # Best measured memory-mode conv: in-step decode (the dense
+                # kernel is a transient; conv codebooks/assignments are the
+                # only resident weights). The XLA conv-over-LUT-channels
+                # path ('lut') loses at every batch (KERNEL_STUDIES §9b).
+                conv_choices.append("indecode")
             else:
                 conv_choices.append(conv_impl)
             fc_choices.append("-")

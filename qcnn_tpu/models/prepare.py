@@ -9,11 +9,15 @@ step:
   the compute dtype. PQ(x) == W̃x exactly (ops/lut.py), so this is a lossless
   layout change, trading HBM capacity (the dense copy) for speed-of-light MXU
   execution. fc6 f32 dense is 151 MB; bf16 halves the per-step weight stream.
-- ``lut``/``onehot``/``pallas`` layers: keep codebooks+assignments (the 21x
-  smaller representation) and only cast: codebooks to the compute dtype,
-  assignments unchanged in the reference (Cout, S) layout — each kernel
-  transposes to its preferred layout inside its own jit (a no-op-fusable
-  relayout, measured immaterial vs the LUT build).
+- ``lut``/``onehot``/``pallas``/``fused``/``indecode`` layers: keep
+  codebooks+assignments (the 21x smaller representation) and only cast:
+  codebooks to the compute dtype, assignments unchanged in the reference
+  (Cout, S) layout — each kernel transposes to its preferred layout inside
+  its own jit (a no-op-fusable relayout, measured immaterial vs the LUT
+  build). ``indecode`` in particular decodes the dense weight inside the
+  step (a one-hot MXU matmul — the gather lowering measures 29-81 ms per
+  layer, KERNEL_STUDIES §9b): only compressed params are resident in HBM;
+  the dense copy is a per-layer transient.
 
 The returned params list feeds models.network.forward unchanged: decoded
 layers look like dense layers, PQ layers keep their PQ dict.

@@ -150,11 +150,21 @@ def conv_dense_int8(
 
 
 def pq_conv_decode(
-    x: jax.Array, params: dict, *, stride: int, pad: int, groups: int = 1
+    x: jax.Array, params: dict, *, stride: int, pad: int, groups: int = 1,
+    via: str = "gather",
 ) -> jax.Array:
-    """PQ conv via on-the-fly kernel decode + MXU conv."""
+    """PQ conv via on-the-fly kernel decode + MXU conv.
+
+    via='onehot' decodes with the one-hot matmul formulation — the in-step
+    ('indecode') memory-mode configuration, where the gather lowering is
+    hopeless on TPU (KERNEL_STUDIES §9b)."""
     cin_per_group = x.shape[-1] // groups
-    kernel = lut_ops.decode_conv_kernel(
+    decode = (
+        lut_ops.decode_conv_kernel_onehot
+        if via == "onehot"
+        else lut_ops.decode_conv_kernel
+    )
+    kernel = decode(
         params["codebooks"], params["assignments"], cin_per_group
     )
     return conv_dense(
@@ -216,6 +226,12 @@ def pq_conv(
 ) -> jax.Array:
     if impl == "decode":
         return pq_conv_decode(x, params, stride=stride, pad=pad, groups=groups)
+    if impl == "indecode":
+        # in-step decode: compressed weights resident in HBM, dense kernel
+        # is a per-layer transient (one-hot MXU decode)
+        return pq_conv_decode(
+            x, params, stride=stride, pad=pad, groups=groups, via="onehot"
+        )
     if impl == "lut":
         return pq_conv_lut(x, params, stride=stride, pad=pad, groups=groups)
     raise ValueError(f"unknown pq_conv impl: {impl}")

@@ -101,6 +101,17 @@ def pq_fc_decode(x: jax.Array, params: dict) -> jax.Array:
     return fc_dense(x, w, params["bias"])
 
 
+def pq_fc_indecode(x: jax.Array, params: dict) -> jax.Array:
+    """Memory-mode PQ FC: decode the dense weight INSIDE the step (one-hot
+    matmul decode — the gather lowering measures 29-81 ms/geometry on TPU,
+    KERNEL_STUDIES §9b) then run the dense GEMM. Compressed params are the
+    only resident weights; the dense copy is a transient."""
+    w = lut_ops.decode_fc_weight_onehot(
+        params["codebooks"], params["assignments"], x.shape[-1]
+    )
+    return fc_dense(x, w, params["bias"])
+
+
 def pq_fc(x: jax.Array, params: dict, impl: str = "onehot") -> jax.Array:
     if impl == "onehot":
         return pq_fc_onehot(x, params)
@@ -108,6 +119,8 @@ def pq_fc(x: jax.Array, params: dict, impl: str = "onehot") -> jax.Array:
         return pq_fc_gather(x, params)
     if impl == "decode":
         return pq_fc_decode(x, params)
+    if impl == "indecode":
+        return pq_fc_indecode(x, params)
     if impl == "pallas":
         from qcnn_tpu.ops.pallas import pq_fc_pallas
 

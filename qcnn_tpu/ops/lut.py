@@ -98,6 +98,46 @@ def decode_conv_kernel(
     return jnp.transpose(w, (1, 2, 3, 0))
 
 
+def decode_fc_weight_onehot(
+    codebooks: jax.Array, assignments: jax.Array, in_features: int
+) -> jax.Array:
+    """decode_fc_weight reformulated for in-graph execution: the uint8 row
+    gather becomes a one-hot batched matmul.
+
+    Measured (benchmarks/fc_kernels.py, KERNEL_STUDIES §9b): XLA's TPU
+    gather lowering streams ~2.5 GB/s — 61-81 ms for fc6's 151 MB dense
+    weight — while the one-hot contraction runs on the MXU. Bit-exact vs
+    the gather (each output element is a sum of zeros plus exactly one
+    codebook value, exact in any float dtype).
+    """
+    s, k, d = codebooks.shape
+    oh = jax.nn.one_hot(
+        assignments.astype(jnp.int32), k, dtype=codebooks.dtype
+    )  # (Cout, S, K)
+    w = jnp.einsum("osk,skd->osd", oh, codebooks)
+    w = w.reshape(assignments.shape[0], s * d)[:, :in_features]
+    return w.T
+
+
+def decode_conv_kernel_onehot(
+    codebooks: jax.Array, assignments: jax.Array, in_channels_per_group: int
+) -> jax.Array:
+    """decode_conv_kernel via one-hot matmul (see decode_fc_weight_onehot).
+
+    Conv one-hot operands are small (AlexNet total ~75 MB bf16 transient),
+    so this makes in-step conv decode cheap where the gather lowering is
+    hopeless — the basis of the conv 'indecode' memory strategy.
+    """
+    s, k, d = codebooks.shape
+    cout, kh, kw, s2 = assignments.shape
+    oh = jax.nn.one_hot(
+        assignments.astype(jnp.int32), k, dtype=codebooks.dtype
+    )  # (Cout, kh, kw, S, K)
+    w = jnp.einsum("...sk,skd->...sd", oh, codebooks)
+    w = w.reshape(cout, kh, kw, s * d)[..., :in_channels_per_group]
+    return jnp.transpose(w, (1, 2, 3, 0))
+
+
 def assignments_one_hot(
     assignments: jax.Array, num_codewords: int, dtype=jnp.float32
 ) -> jax.Array:

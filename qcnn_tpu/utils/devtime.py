@@ -17,13 +17,20 @@ from typing import Callable
 import numpy as np
 
 
-def _make_looped(fn: Callable):
+def _make_looped(fn: Callable, perturb_rest: bool = False):
     """jit'd (iters, x, *rest) -> scalar running `iters` serialized fn calls.
 
     fn maps (x, *rest) -> y (any pytree). Iteration i+1's input is
     x + 1e-30 * running_sum(y_i): numerically a no-op, but XLA can neither
     elide nor reorder iterations. The trip count is a traced argument
     (lowers to while_loop) so one compilation serves every loop length.
+
+    perturb_rest=True additionally perturbs every float leaf of *rest the
+    same way INSIDE the loop, so computations that depend only on rest
+    (e.g. an in-graph weight decode from PQ codebooks) cannot be hoisted
+    out of the loop as invariants — without it they time as zero-cost.
+    Only use when the float rest-leaves are small (the perturbation itself
+    is an extra pass over them per iteration).
     """
     import jax
     import jax.numpy as jnp
@@ -40,7 +47,23 @@ def _make_looped(fn: Callable):
 
         def body(_, carry):
             x, acc = carry
-            y = fn(x, *rest)
+            if perturb_rest:
+                def pert_leaf(leaf):
+                    if not jnp.issubdtype(leaf.dtype, jnp.inexact):
+                        return leaf
+                    r = (
+                        lax.broadcasted_iota(
+                            jnp.float32, leaf.shape, leaf.ndim - 1
+                        )
+                        if leaf.ndim else jnp.float32(0.0)
+                    )
+                    return leaf + (jnp.sin(acc + r) * jnp.float32(1e-30)
+                                   ).astype(leaf.dtype)
+
+                rest_i = jax.tree_util.tree_map(pert_leaf, rest)
+                y = fn(x, *rest_i)
+            else:
+                y = fn(x, *rest)
             # Reduce over EVERY element of every output leaf: a partial
             # reduction (e.g. ravel()[:8]) lets XLA dead-code-eliminate the
             # uncontributing slice of the whole computation (measured a
@@ -65,6 +88,7 @@ def time_device_fn(
     k1: int = 4,
     k2: int = 20,
     reps: int = 3,
+    perturb_rest: bool = False,
 ) -> float:
     """Median seconds per call of fn(x, *rest) measured on device.
 
@@ -76,7 +100,7 @@ def time_device_fn(
     import jax.numpy as jnp
 
     x = jnp.asarray(x)
-    f = _make_looped(fn)
+    f = _make_looped(fn, perturb_rest=perturb_rest)
     np.asarray(f(k2, x, *rest))  # compile + warm
     diffs = []
     for _ in range(reps):

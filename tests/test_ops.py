@@ -147,7 +147,7 @@ class TestLUT:
 
 
 class TestPQFC:
-    @pytest.mark.parametrize("impl", ["gather", "onehot", "decode"])
+    @pytest.mark.parametrize("impl", ["gather", "onehot", "decode", "indecode"])
     def test_matches_oracle(self, rng, impl):
         x, params = _rand_pq_fc(rng)
         want = np_pq_fc(x, params["codebooks"], params["assignments"], params["bias"])
@@ -166,7 +166,7 @@ class TestPQFC:
 
 
 class TestPQConv:
-    @pytest.mark.parametrize("impl", ["decode", "lut"])
+    @pytest.mark.parametrize("impl", ["decode", "indecode", "lut"])
     @pytest.mark.parametrize(
         "groups,cin,pad,stride", [(1, 8, 1, 1), (2, 12, 2, 2), (1, 3, 0, 2)]
     )
@@ -190,6 +190,26 @@ class TestPQConv:
         )
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_onehot_decode_bit_exact(self, rng):
+        """The one-hot matmul decode (in-step 'indecode' formulation) is
+        bit-identical to the gather decode: each output element is a sum of
+        zeros plus exactly one codebook value."""
+        from qcnn_tpu.ops.lut import (
+            decode_conv_kernel_onehot, decode_fc_weight_onehot,
+        )
+
+        cb = rng.standard_normal((6, 16, 4), dtype=np.float32)
+        asmt = rng.integers(0, 16, size=(24, 3, 3, 6), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(decode_conv_kernel_onehot(cb, asmt, 22)),
+            np.asarray(decode_conv_kernel(cb, asmt, 22)),
+        )
+        asmt_fc = rng.integers(0, 16, size=(32, 6), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(decode_fc_weight_onehot(cb, asmt_fc, 22)),
+            np.asarray(decode_fc_weight(cb, asmt_fc, 22)),
+        )
 
     def test_decode_kernel_groups_share_codebook(self, rng):
         cb = rng.standard_normal((3, 8, 4), dtype=np.float32)

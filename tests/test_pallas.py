@@ -123,29 +123,37 @@ def test_pq_fc_fused_rejects_wide_codebooks(rng):
 
 
 def test_memory_strategy_resolution(rng):
-    """'memory' fc_impl picks fused/pallas per geometry+batch
-    (KERNEL_STUDIES §9)."""
-    from qcnn_tpu.core import FCSpec, ModelSpec, SoftmaxSpec
+    """'memory' resolves to the in-step one-hot decode for both conv and fc
+    — the measured best memory-mode execution at every AlexNet geometry and
+    batch (KERNEL_STUDIES §9b)."""
+    from qcnn_tpu.core import ConvSpec, FCSpec, ModelSpec, SoftmaxSpec
     from qcnn_tpu.models.network import resolve_strategy
 
     spec = ModelSpec(
-        name="m", in_height=1, in_width=1, in_channels=64,
-        layers=(FCSpec(128), FCSpec(10), SoftmaxSpec()),
+        name="m", in_height=4, in_width=4, in_channels=8,
+        layers=(ConvSpec(kernel=3, out_channels=16, pad=1),
+                FCSpec(128), FCSpec(10), SoftmaxSpec()),
     )
     params = [
-        {  # D=4 fc: pallas at small batch, fused at large
-            "codebooks": np.zeros((16, 32, 4), np.float32),
-            "assignments": np.zeros((128, 16), np.uint8),
+        {
+            "codebooks": np.zeros((1, 16, 8), np.float32),
+            "assignments": np.zeros((16, 3, 3, 1), np.uint8),
+            "bias": np.zeros(16, np.float32),
+        },
+        {
+            "codebooks": np.zeros((64, 32, 4), np.float32),
+            "assignments": np.zeros((128, 64), np.uint8),
             "bias": np.zeros(128, np.float32),
         },
-        {  # D=1 classifier: always fused
+        {  # D=1 classifier
             "codebooks": np.zeros((128, 16, 1), np.float32),
             "assignments": np.zeros((10, 128), np.uint8),
             "bias": np.zeros(10, np.float32),
         },
         None,
     ]
-    _, fc_small = resolve_strategy(spec, params, 8, "auto", "memory")
-    _, fc_large = resolve_strategy(spec, params, 256, "auto", "memory")
-    assert fc_small == ("pallas", "fused", "-")
-    assert fc_large == ("fused", "fused", "-")
+    for batch in (8, 256):
+        conv_i, fc_i = resolve_strategy(spec, params, batch, "memory",
+                                        "memory")
+        assert conv_i == ("indecode", "-", "-", "-")
+        assert fc_i == ("-", "indecode", "indecode", "-")

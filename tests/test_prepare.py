@@ -78,6 +78,40 @@ def test_prepare_alexnet_shapes():
             assert p["weight"].dtype == jnp.bfloat16
 
 
+def test_prepare_indecode_matches_decode_and_keeps_pq_resident():
+    """'indecode' memory mode: compressed params stay resident (PQ dicts
+    survive prepare), the in-step decode is numerically identical to
+    decode-at-load in f32."""
+    spec = _tiny()
+    params = synth.random_pq_params(spec, seed=3)
+    x = synth.random_input(spec, batch=4, seed=4)
+    ref = np.asarray(
+        network.forward(
+            params, x, spec=spec, conv_impl="decode", fc_impl="decode"
+        )
+    )
+    prepared, conv_impls, fc_impls = prepare_params(
+        spec, params, conv_impl="indecode", fc_impl="indecode",
+        dtype=jnp.float32,
+    )
+    # compressed representation survives preparation
+    assert any(c == "indecode" for c in conv_impls)
+    assert any(f == "indecode" for f in fc_impls)
+    for p, c, f in zip(prepared, conv_impls, fc_impls):
+        if "indecode" in (c, f):
+            assert "codebooks" in p and "assignments" in p
+            assert "kernel" not in p and "weight" not in p
+    got = np.asarray(
+        network.forward(
+            prepared, x, spec=spec, conv_impls=conv_impls, fc_impls=fc_impls
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    # 'memory' conv strategy resolves to indecode for PQ conv layers
+    ci, _ = network.resolve_strategy(spec, params, 4, "memory", "memory")
+    assert "indecode" in ci
+
+
 def test_prepare_int8_top1_agreement():
     spec = _tiny()
     params = synth.random_pq_params(spec, seed=5)
