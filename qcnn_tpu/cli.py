@@ -21,11 +21,20 @@ def log(*a):
 # classify — single/multi image (UT_CaffeEvaWrapper, src/UnitTest.cc:67-124)
 # ---------------------------------------------------------------------------
 
+def _impl_kwargs(args) -> dict:
+    """--memory-mode -> keep only compressed PQ params resident (in-step
+    one-hot decode, KERNEL_STUDIES §9b: ~21x less weight HBM for ~13%
+    throughput at batch 256)."""
+    if getattr(args, "memory_mode", False):
+        return {"conv_impl": "memory", "fc_impl": "memory"}
+    return {}
+
+
 def cmd_classify(args) -> int:
     from qcnn_tpu.eval.harness import Classifier
 
     if args.checkpoint:
-        clf = Classifier.from_checkpoint(args.checkpoint)
+        clf = Classifier.from_checkpoint(args.checkpoint, **_impl_kwargs(args))
     else:
         clf = Classifier.from_reference(
             args.model,
@@ -36,6 +45,7 @@ def cmd_classify(args) -> int:
             image_labels_path=os.path.join(
                 args.reference_dir, "Cls.Names", "image_labels.txt"
             ),
+            **_impl_kwargs(args),
         )
     if getattr(clf, "load_result", None) and clf.load_result.synthesized_layers:
         log(f"[WARN] layers {clf.load_result.synthesized_layers} use "
@@ -78,7 +88,7 @@ def cmd_eval(args) -> int:
     if args.checkpoint:
         from qcnn_tpu.models.loader import load_image_labels
 
-        clf = Classifier.from_checkpoint(args.checkpoint)
+        clf = Classifier.from_checkpoint(args.checkpoint, **_impl_kwargs(args))
         labels_path = os.path.join(
             args.reference_dir, "Cls.Names", "image_labels.txt"
         )
@@ -94,6 +104,7 @@ def cmd_eval(args) -> int:
             image_labels_path=os.path.join(
                 args.reference_dir, "Cls.Names", "image_labels.txt"
             ),
+            **_impl_kwargs(args),
         )
     data_path = os.path.join(
         args.reference_dir, "ILSVRC12.227x227.IMG", "dataMatTst.single.bin"
@@ -406,8 +417,14 @@ def cmd_serve(args) -> int:
     from qcnn_tpu.serve.engine import BatchingEngine, EngineConfig
     from qcnn_tpu.serve.http import serve as http_serve
 
+    max_batch = args.max_batch
+    if not max_batch:
+        # Measured serving defaults (KERNEL_STUDIES §11): ViT throughput
+        # peaks at small batch (3.3k img/s at 8, cliff past 32 — the f32
+        # attention-logits working set); CNNs keep scaling to 64+.
+        max_batch = 32 if args.model.startswith("vit") else 64
     config = EngineConfig(
-        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        max_batch=max_batch, max_wait_ms=args.max_wait_ms,
         max_queue=args.max_queue, deadline_ms=args.deadline_ms
     )
     preprocessor = None
@@ -421,6 +438,10 @@ def cmd_serve(args) -> int:
             import jax.numpy as jnp
 
             from qcnn_tpu.formats.checkpoint import load_family_checkpoint
+
+            if args.memory_mode:
+                log("[WARN] --memory-mode applies to linear-spec models "
+                    "only; family model serves decode-at-load")
 
             family, spec, params = load_family_checkpoint(args.checkpoint)
             fam = __import__(
@@ -441,7 +462,9 @@ def cmd_serve(args) -> int:
             )
 
             spec, params = load_checkpoint(args.checkpoint)
-            engine = BatchingEngine(spec, params, config=config).start()
+            engine = BatchingEngine(
+                spec, params, config=config, **_impl_kwargs(args)
+            ).start()
             preprocessor = load_preprocessor(args.checkpoint)
             names_path = os.path.join(args.checkpoint, "class_names.txt")
             if os.path.exists(names_path):
@@ -451,6 +474,9 @@ def cmd_serve(args) -> int:
     elif args.model in ("resnet50", "resnet18", "vit_b16", "vit_s16"):
         # family models: synthetic PQ weights (no pretrained checkpoints
         # ship offline); serves raw preprocessed tensors via X-Shape
+        if args.memory_mode:
+            log("[WARN] --memory-mode applies to linear-spec models only; "
+                "family model serves decode-at-load")
         if args.model.startswith("resnet"):
             from qcnn_tpu.models import resnet as fam
 
@@ -483,7 +509,7 @@ def cmd_serve(args) -> int:
             ),
         )
         engine = BatchingEngine(
-            clf.spec, clf.raw_params, config=config
+            clf.spec, clf.raw_params, config=config, **_impl_kwargs(args)
         ).start()
         preprocessor = clf.pre
         class_names = clf.class_names
@@ -573,6 +599,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--checkpoint", default=None,
                    help="classify with a self-contained native checkpoint")
     c.add_argument("--top-k", type=int, default=5)
+    c.add_argument("--memory-mode", action="store_true",
+                   help="keep only compressed PQ params resident "
+                        "(in-step decode; ~21x less weight HBM)")
     c.set_defaults(fn=cmd_classify)
 
     e = sub.add_parser("eval", help="dataset accuracy")
@@ -582,6 +611,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="evaluate a self-contained native checkpoint")
     e.add_argument("--batch", type=int, default=64)
     e.add_argument("--limit", type=int, default=1000)
+    e.add_argument("--memory-mode", action="store_true",
+                   help="keep only compressed PQ params resident "
+                        "(in-step decode; ~21x less weight HBM)")
     e.set_defaults(fn=cmd_eval)
 
     cal = sub.add_parser(
@@ -663,11 +695,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--reference-dir", default="/root/reference")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8000)
-    s.add_argument("--max-batch", type=int, default=64)
+    s.add_argument("--max-batch", type=int, default=0,
+                   help="0 = model-aware default (32 for ViT — measured "
+                        "throughput cliff past batch 32 — else 64)")
     s.add_argument("--max-wait-ms", type=float, default=2.0)
     s.add_argument("--max-queue", type=int, default=0,
                    help="bound the request queue; beyond it /classify "
                         "returns 503 (0 = unbounded)")
+    s.add_argument("--memory-mode", action="store_true",
+                   help="keep only compressed PQ params resident "
+                        "(linear-spec models; families use decode-at-load)")
     s.add_argument("--deadline-ms", type=float, default=0.0,
                    help="default per-request deadline; expired requests "
                         "get 504 without spending a batch slot (0 = none)")

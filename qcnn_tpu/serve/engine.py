@@ -128,6 +128,8 @@ class BatchingEngine:
         mesh=None,
         compute_dtype=None,
         act_scales: Optional[dict] = None,
+        conv_impl: str = "auto",
+        fc_impl: str = "auto",
     ) -> None:
         import jax
         import jax.numpy as jnp
@@ -148,7 +150,9 @@ class BatchingEngine:
             else compute_dtype
         )
         prepared, conv_impls, fc_impls = prepare_params(
-            spec, params, dtype=compute_dtype, act_scales=act_scales
+            spec, params, dtype=compute_dtype, act_scales=act_scales,
+            conv_impl=conv_impl, fc_impl=fc_impl,
+            batch_hint=config.max_batch,
         )
         if mesh is not None:
             from qcnn_tpu.parallel import shard_params

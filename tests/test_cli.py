@@ -233,6 +233,12 @@ def test_classify_from_checkpoint(tmp_path, reference_dir, capsys):
     assert main(["classify", bmp, "--checkpoint", ckpt]) == 0
     out = capsys.readouterr().out
     assert "ILSVRC2012_val_00000002" in out
+    # memory mode (compressed-resident in-step decode) serves the same CLI
+    assert main(
+        ["classify", bmp, "--checkpoint", ckpt, "--memory-mode"]
+    ) == 0
+    out_mem = capsys.readouterr().out
+    assert "ILSVRC2012_val_00000002" in out_mem
 
 
 def test_quantize_layer_config_override(tmp_path):

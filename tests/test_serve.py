@@ -48,6 +48,36 @@ def test_single_request(engine, tiny_spec, rng):
     np.testing.assert_allclose(probs.sum(), 1.0, rtol=1e-3)
 
 
+def test_engine_memory_mode(tiny_spec, rng):
+    """conv_impl/fc_impl='memory': the engine keeps the compressed PQ
+    params resident (no dense kernel/weight entries) and still matches the
+    decode path within compute-dtype tolerance."""
+    from qcnn_tpu.models import network
+
+    params = synth.random_pq_params(tiny_spec, seed=1)
+    eng = BatchingEngine(
+        tiny_spec, params,
+        config=EngineConfig(max_batch=8, max_wait_ms=5.0),
+        conv_impl="memory", fc_impl="memory",
+    ).start()
+    try:
+        assert any(
+            p is not None and "codebooks" in p for p in eng.params
+        )
+        assert not any(
+            p is not None and ("kernel" in p or "weight" in p)
+            for p in eng.params
+        )
+        img = rng.standard_normal((11, 11, 4)).astype(np.float32)
+        got = eng.classify(img, timeout=60)
+        want = np.asarray(
+            network.forward(params, img[None], spec=tiny_spec)
+        )[0]
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+    finally:
+        eng.stop()
+
+
 def test_concurrent_requests_batch(engine, rng):
     imgs = [
         rng.standard_normal((11, 11, 4)).astype(np.float32) for _ in range(20)
