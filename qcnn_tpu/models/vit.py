@@ -119,25 +119,31 @@ def _layernorm(x, p, eps=1e-6):
     return (y * p["scale"] + p["shift"]).astype(x.dtype)
 
 
-def _masked_attention(q, k, v, n_pad: int):
+def _masked_attention(q, k, v, n_pad: int, logits_dtype=jnp.float32):
     """(B, N, H, hd) q/k/v -> (B, N, H, hd); keys/values zero-padded by
     n_pad tokens with an additive -inf mask. exp(-inf) = 0 and the softmax
     max/denominator come only from real keys, so any n_pad yields outputs
     identical to n_pad=0 (tested in test_model_families.py) — padding is
-    purely an MXU tile-alignment choice (197 -> 256 for ViT-B/16)."""
+    purely an MXU tile-alignment choice (197 -> 256 for ViT-B/16).
+
+    logits_dtype sets the materialization dtype of the (B, H, N, N) logits
+    — the binding HBM working set of the whole block (KERNEL_STUDIES §7).
+    bfloat16 halves that stream; softmax still reduces in float32
+    (upcast inside the fusion). Numerics/throughput A/B:
+    tools/vit_logits_ab.py."""
     hd = q.shape[-1]
     if n_pad:
         k = jnp.pad(k, ((0, 0), (0, n_pad), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, n_pad), (0, 0), (0, 0)))
-    att = jnp.einsum(
+    att = (jnp.einsum(
         "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
-    ) / np.sqrt(hd)
+    ) / np.sqrt(hd)).astype(logits_dtype)
     if n_pad:
         mask = jnp.concatenate(
             [jnp.zeros(k.shape[1] - n_pad), jnp.full(n_pad, -jnp.inf)]
-        ).astype(jnp.float32)
+        ).astype(logits_dtype)
         att = att + mask
-    att = jax.nn.softmax(att, axis=-1).astype(v.dtype)
+    att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(v.dtype)
     return jnp.einsum(
         "bhnm,bmhd->bnhd", att, v, preferred_element_type=jnp.float32
     )
@@ -166,12 +172,24 @@ def forward(
     spec: ViTSpec,
     compute_dtype=None,
     with_softmax: bool = False,
+    attn_logits_dtype=None,
 ) -> jax.Array:
-    """(B, H, W, 3) NHWC -> (B, num_classes)."""
+    """(B, H, W, 3) NHWC -> (B, num_classes).
+
+    attn_logits_dtype: materialization dtype of the attention logits (the
+    binding working set per block); see _masked_attention. Default (None)
+    follows the compute dtype: bf16 logits when activations are bf16 —
+    measured +19% end-to-end at batch 64 (24.8 vs 29.5 ms), neutral at
+    batch 8-16, max |dprob| 2.3e-4, top-1 identical (tools/vit_logits_ab.py)
+    — and f32 otherwise (exactness mode stays exact)."""
     b, h, w, c = x.shape
     p = spec.patch
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
+    if attn_logits_dtype is None:
+        attn_logits_dtype = (
+            jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+        )
 
     def cast(v):
         return v.astype(compute_dtype) if compute_dtype is not None else v
@@ -203,7 +221,7 @@ def forward(
         q = q.reshape(b, -1, nh, hd)
         k = k.reshape(b, -1, nh, hd)
         v = v.reshape(b, -1, nh, hd)
-        o = _masked_attention(q, k, v, n_pad)
+        o = _masked_attention(q, k, v, n_pad, attn_logits_dtype)
         o = cast(o.reshape(b, -1, spec.dim))
         x = x + cast(_proj(o, blk["out"]))
         # mlp

@@ -1,6 +1,7 @@
 """ResNet and ViT PQ model families: shapes, PQ==decode exactness, and
 quantization round-trips (CPU)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -149,6 +150,22 @@ class TestViT:
         assert out.dtype == np.float32
         ref = np.asarray(vit.forward(dense, x, spec=spec))
         assert np.argmax(out, -1).tolist() == np.argmax(ref, -1).tolist()
+
+    def test_bf16_attn_logits(self, tiny):
+        """bf16 attention-logits materialization (the default whenever
+        compute is bf16, KERNEL_STUDIES §7): top-1 identical, probs
+        close."""
+        spec, dense, x = tiny
+        ref = np.asarray(vit.forward(dense, x, spec=spec,
+                                     compute_dtype=jnp.bfloat16))
+        got = np.asarray(vit.forward(
+            dense, x, spec=spec, compute_dtype=jnp.bfloat16,
+            attn_logits_dtype=jnp.bfloat16,
+        ))
+        assert np.argmax(got, -1).tolist() == np.argmax(ref, -1).tolist()
+        np.testing.assert_allclose(
+            jax.nn.softmax(got, -1), jax.nn.softmax(ref, -1), atol=5e-3
+        )
 
     def test_int8_prepare_and_forward(self, tiny):
         spec, dense, x = tiny
