@@ -94,9 +94,10 @@ def dp_wrap(step, dp: int):
 
 
 def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
-                 dp: int = 0):
+                 dp: int = 0, memory: bool = False):
     """Throughput for the ResNet/ViT PQ families (synthetic weights —
-    no pretrained checkpoints ship offline; timing is weight-agnostic)."""
+    no pretrained checkpoints ship offline; timing is weight-agnostic).
+    memory=True keeps PQ params compressed (in-step one-hot decode)."""
     import jax
     import jax.numpy as _jnp
     import numpy as np
@@ -137,16 +138,16 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
         from qcnn_tpu.models import resnet as fam
 
         spec = fam.RESNETS[model]()
-        pq = fam.quantize_params(spec, fam.init_dense_params(spec, seed=0))
-        prepared = jax.device_put(fam.prepare_params(spec, pq, dtype=dtype))
         size = spec.in_size
     else:
         from qcnn_tpu.models import vit as fam
 
         spec = fam.VITS[model]()
-        pq = fam.quantize_params(spec, fam.init_dense_params(spec, seed=0))
-        prepared = jax.device_put(fam.prepare_params(spec, pq, dtype=dtype))
         size = spec.image_size
+    pq = fam.quantize_params(spec, fam.init_dense_params(spec, seed=0))
+    prepared = jax.device_put(
+        fam.prepare_params(spec, pq, dtype=dtype, memory=memory)
+    )
     x = rng.standard_normal((batch, size, size, 3)).astype(np.float32)
     fam_act = _jnp.bfloat16 if dtype in (_jnp.int8, "int8") else dtype
 
@@ -210,6 +211,7 @@ def main() -> None:
             per_step, spec = bench_family(
                 args.model, args.batch, dtype_arg, args.k1, args.k2,
                 dp=args.dp,
+                memory=("memory" in (args.conv_impl, args.fc_impl)),
             )
         except NotImplementedError as e:
             log(f"error: {e}")

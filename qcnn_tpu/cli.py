@@ -439,15 +439,14 @@ def cmd_serve(args) -> int:
 
             from qcnn_tpu.formats.checkpoint import load_family_checkpoint
 
-            if args.memory_mode:
-                log("[WARN] --memory-mode applies to linear-spec models "
-                    "only; family model serves decode-at-load")
 
             family, spec, params = load_family_checkpoint(args.checkpoint)
             fam = __import__(
                 f"qcnn_tpu.models.{family}", fromlist=[family]
             )
-            prepared = fam.prepare_params(spec, params)
+            prepared = fam.prepare_params(
+                spec, params, memory=args.memory_mode
+            )
             size = spec.in_size if family == "resnet" else spec.image_size
             fwd = functools.partial(
                 fam.forward, spec=spec, compute_dtype=jnp.bfloat16,
@@ -488,7 +487,7 @@ def cmd_serve(args) -> int:
             spec = fam.VITS[args.model]()
             size = spec.image_size
         pq = fam.quantize_params(spec, fam.init_dense_params(spec, seed=0))
-        prepared = fam.prepare_params(spec, pq)
+        prepared = fam.prepare_params(spec, pq, memory=args.memory_mode)
         import jax.numpy as jnp
 
         fwd = functools.partial(
@@ -550,6 +549,8 @@ def cmd_profile(args) -> int:
     from qcnn_tpu.models.prepare import prepare_params
     from qcnn_tpu.models.zoo import get_model
 
+    if args.model in ("resnet50", "resnet18", "vit_b16", "vit_s16"):
+        return _profile_family(args)
     spec = get_model(args.model)
     if args.model == "alexnet" and os.path.isdir(args.reference_dir):
         params = load_alexnet_reference(
@@ -585,6 +586,43 @@ def cmd_profile(args) -> int:
             spec, prepared, x, conv_impls=ci, fc_impls=fi, compute_dtype=dtype
         )
     print(format_table(profs))
+    return 0
+
+
+def _profile_family(args) -> int:
+    """Per-segment device-time table for ResNet/ViT (the family analogue
+    of the per-layer DispElpsTime tables)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qcnn_tpu.eval.profiler import profile_segments
+
+    if args.model.startswith("resnet"):
+        from qcnn_tpu.models import resnet as fam
+
+        spec = fam.RESNETS[args.model]()
+        size = spec.in_size
+    else:
+        from qcnn_tpu.models import vit as fam
+
+        spec = fam.VITS[args.model]()
+        size = spec.image_size
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    pq = fam.quantize_params(spec, fam.init_dense_params(spec, seed=0))
+    prepared = jax.device_put(fam.prepare_params(spec, pq, dtype=dtype))
+    x = np.random.default_rng(1).standard_normal(
+        (args.batch, size, size, 3)
+    ).astype(np.float32)
+    segs = fam.forward_segments(spec, compute_dtype=dtype)
+    rows = profile_segments(segs, x, prepared)
+    total = sum(t for _, t in rows)
+    print(f"{args.model} batch={args.batch} {args.dtype} "
+          f"(synthetic PQ weights)")
+    print(f"{'segment':<12} {'ms':>9} {'%':>6}")
+    for name, t in rows:
+        print(f"{name:<12} {t*1e3:>9.3f} {100*t/max(total,1e-12):>6.1f}")
+    print(f"{'total':<12} {total*1e3:>9.3f}")
     return 0
 
 
@@ -719,10 +757,13 @@ def build_parser() -> argparse.ArgumentParser:
     rt.add_argument("--cooldown-s", type=float, default=5.0)
     rt.set_defaults(fn=cmd_route)
 
-    p = sub.add_parser("profile", help="per-layer device times")
+    p = sub.add_parser("profile",
+                       help="per-layer (zoo) / per-segment (family) "
+                            "device times")
     p.add_argument("--model", default="alexnet",
                    choices=["alexnet", "caffenet", "vgg_cnn_s", "vgg16",
-                            "caffenet_fgb", "caffenet_fgd"])
+                            "caffenet_fgb", "caffenet_fgd",
+                            "resnet50", "resnet18", "vit_b16", "vit_s16"])
     p.add_argument("--reference-dir", default="/root/reference")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--dtype", default="bfloat16",

@@ -111,7 +111,11 @@ def init_dense_params(spec: ResNetSpec, seed: int = 0) -> dict:
 
 def _apply_conv(x, p, *, stride=1, pad=0):
     if "codebooks" in p:
-        return conv_ops.pq_conv(x, p, stride=stride, pad=pad, impl="decode")
+        # in-graph PQ (memory mode / unprepared params): one-hot MXU decode
+        # — the gather decode lowering is ~300x off roofline on TPU
+        # (KERNEL_STUDIES §9b)
+        return conv_ops.pq_conv(x, p, stride=stride, pad=pad,
+                                impl="indecode")
     if "kernel_q" in p:
         return conv_ops.conv_dense_int8(
             x, p["kernel_q"], p["scale"], p["bias"],
@@ -123,13 +127,49 @@ def _apply_conv(x, p, *, stride=1, pad=0):
 
 def _apply_fc(x, p):
     if "codebooks" in p:
-        return fc_ops.pq_fc(x, p, impl="decode")
+        return fc_ops.pq_fc(x, p, impl="indecode")
     if "weight_q" in p:
         return fc_ops.fc_dense_int8(
             x, p["weight_q"], p["scale"], p["bias"],
             act_scale=p.get("act_scale"),
         )
     return fc_ops.fc_dense(x, p["weight"], p["bias"])
+
+
+def _make_cast(compute_dtype):
+    def cast(v):
+        return v.astype(compute_dtype) if compute_dtype is not None else v
+    return cast
+
+
+def _run_block(x, block, stride: int, bottleneck: bool, cast):
+    """One residual block (shared by forward and forward_segments)."""
+    shortcut = x
+    if "proj" in block:
+        shortcut = cast(_apply_conv(x, block["proj"], stride=stride))
+    if bottleneck:
+        y = cast(relu(_apply_conv(x, block["conv1"])))
+        y = cast(relu(_apply_conv(y, block["conv2"], stride=stride, pad=1)))
+        y = cast(_apply_conv(y, block["conv3"]))
+    else:
+        y = cast(relu(_apply_conv(x, block["conv1"], stride=stride, pad=1)))
+        y = cast(_apply_conv(y, block["conv2"], pad=1))
+    return relu(y + shortcut)
+
+
+def _run_stem(x, params, cast):
+    from qcnn_tpu.ops.misc import caffe_max_pool
+
+    x = cast(relu(_apply_conv(x, params["stem"], stride=2, pad=3)))
+    return caffe_max_pool(x, kernel=3, stride=2, pad=1)
+
+
+def _run_head(x, params, cast, with_softmax: bool):
+    x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # global average pool
+    logits = _apply_fc(cast(x), params["fc"]).astype(jnp.float32)
+    if with_softmax:
+        logits = jax.nn.softmax(logits, axis=-1)
+    return logits
 
 
 def forward(
@@ -143,40 +183,42 @@ def forward(
     """(B, H, W, 3) NHWC -> (B, num_classes) logits (or probabilities)."""
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
-
-    def cast(v):
-        return v.astype(compute_dtype) if compute_dtype is not None else v
-
-    x = cast(relu(_apply_conv(x, params["stem"], stride=2, pad=3)))
-    from qcnn_tpu.ops.misc import caffe_max_pool
-
-    x = caffe_max_pool(x, kernel=3, stride=2, pad=1)
-
+    cast = _make_cast(compute_dtype)
+    x = _run_stem(x, params, cast)
     for s, depth in enumerate(spec.stage_depths):
         for b in range(depth):
-            block = params[f"s{s}b{b}"]
             stride = 2 if (s > 0 and b == 0) else 1
-            shortcut = x
-            if "proj" in block:
-                shortcut = cast(
-                    _apply_conv(x, block["proj"], stride=stride)
-                )
-            if spec.bottleneck:
-                y = cast(relu(_apply_conv(x, block["conv1"])))
-                y = cast(relu(_apply_conv(y, block["conv2"],
-                                          stride=stride, pad=1)))
-                y = cast(_apply_conv(y, block["conv3"]))
-            else:
-                y = cast(relu(_apply_conv(x, block["conv1"],
-                                          stride=stride, pad=1)))
-                y = cast(_apply_conv(y, block["conv2"], pad=1))
-            x = relu(y + shortcut)
+            x = _run_block(
+                x, params[f"s{s}b{b}"], stride, spec.bottleneck, cast
+            )
+    return _run_head(x, params, cast, with_softmax)
 
-    x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # global average pool
-    logits = _apply_fc(cast(x), params["fc"]).astype(jnp.float32)
-    if with_softmax:
-        logits = jax.nn.softmax(logits, axis=-1)
-    return logits
+
+def forward_segments(spec: ResNetSpec, *, compute_dtype=None,
+                     with_softmax: bool = False):
+    """[(name, fn(x, params) -> x)] whose composition equals forward —
+    feeds eval.profiler.profile_segments (the family analogue of the
+    per-layer DispElpsTime tables, CaffeEva.cc:297-326)."""
+    cast = _make_cast(compute_dtype)
+    segs = [(
+        "stem+pool",
+        lambda x, p: _run_stem(
+            x.astype(compute_dtype) if compute_dtype is not None else x,
+            p, cast,
+        ),
+    )]
+    for s, depth in enumerate(spec.stage_depths):
+        def stage(x, p, s=s, depth=depth):
+            for b in range(depth):
+                stride = 2 if (s > 0 and b == 0) else 1
+                x = _run_block(
+                    x, p[f"s{s}b{b}"], stride, spec.bottleneck, cast
+                )
+            return x
+
+        segs.append((f"stage{s}", stage))
+    segs.append(("head", lambda x, p: _run_head(x, p, cast, with_softmax)))
+    return segs
 
 
 # ---------------------------------------------------------------------------
@@ -227,8 +269,15 @@ def quantize_params(
     return {name: quant_leaf(p) for name, p in dense.items()}
 
 
-def prepare_params(spec: ResNetSpec, params: dict, dtype=jnp.bfloat16) -> dict:
-    """Decode PQ tensors to dense in `dtype` (host-side NumPy)."""
+def prepare_params(spec: ResNetSpec, params: dict, dtype=jnp.bfloat16,
+                   *, memory: bool = False) -> dict:
+    """Decode PQ tensors to dense in `dtype` (host-side NumPy).
+
+    memory=True keeps PQ layers compressed (codebooks cast, assignments
+    unchanged): the forward then decodes in-step via the one-hot MXU
+    matmul ('indecode', KERNEL_STUDIES §9b) — only codebooks+assignments
+    are resident in HBM. int8 does not combine with memory mode (codebooks
+    stay in the float dtype)."""
     import ml_dtypes
 
     from qcnn_tpu.models.prepare import (
@@ -254,6 +303,15 @@ def prepare_params(spec: ResNetSpec, params: dict, dtype=jnp.bfloat16) -> dict:
 
     def prep(p, cin_hint=None, is_fc=False):
         if "codebooks" in p:
+            if memory:
+                cb_dtype = (
+                    ml_dtypes.bfloat16 if int8 else np_dtype
+                )
+                return {
+                    "codebooks": np.asarray(p["codebooks"], cb_dtype),
+                    "assignments": np.asarray(p["assignments"]),
+                    "bias": np.asarray(p["bias"], np.float32),
+                }
             s, _, d = np.asarray(p["codebooks"]).shape
             if is_fc:
                 w = _decode_fc_weight_np(

@@ -154,7 +154,9 @@ def _proj(x, p):
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     if "codebooks" in p:
-        y = fc_ops.pq_fc(x2, p, impl="decode")
+        # in-graph PQ (memory mode / unprepared params): one-hot MXU decode
+        # (KERNEL_STUDIES §9b)
+        y = fc_ops.pq_fc(x2, p, impl="indecode")
     elif "weight_q" in p:
         y = fc_ops.fc_dense_int8(
             x2, p["weight_q"], p["scale"], p["bias"],
@@ -182,58 +184,97 @@ def forward(
     measured +19% end-to-end at batch 64 (24.8 vs 29.5 ms), neutral at
     batch 8-16, max |dprob| 2.3e-4, top-1 identical (tools/vit_logits_ab.py)
     — and f32 otherwise (exactness mode stays exact)."""
-    b, h, w, c = x.shape
-    p = spec.patch
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
     if attn_logits_dtype is None:
         attn_logits_dtype = (
             jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
         )
+    cast = _make_cast(compute_dtype)
+    x = _run_embed(x, params, spec, cast)
+    for i in range(spec.depth):
+        x = _run_block(x, params[f"blk{i}"], spec, cast, attn_logits_dtype)
+    return _run_head(x, params, with_softmax)
 
+
+def _make_cast(compute_dtype):
     def cast(v):
         return v.astype(compute_dtype) if compute_dtype is not None else v
+    return cast
 
+
+def _run_embed(x, params, spec, cast):
+    b, h, w, c = x.shape
+    p = spec.patch
     # patchify: (B, H/p, p, W/p, p, C) -> (B, N, p*p*C)
     x = x.reshape(b, h // p, p, w // p, p, c)
     x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, spec.num_patches, -1)
     x = cast(_proj(x, params["patch_embed"]))
-
     cls = jnp.broadcast_to(
         params["cls_token"].astype(x.dtype), (b, 1, spec.dim)
     )
     x = jnp.concatenate([cls, x], axis=1)
-    x = x + params["pos_embed"].astype(x.dtype)
+    return x + params["pos_embed"].astype(x.dtype)
 
+
+def _run_block(x, blk, spec, cast, attn_logits_dtype):
+    """One transformer block (shared by forward and forward_segments).
+
+    Unpadded attention (n_pad=0): the core is logits-bandwidth bound and
+    197->256 key/value padding measured neutral-to-worse (KERNEL_STUDIES
+    §7). Head split via reshape only; the contractions carry the head axis
+    in-place (explicit (0,2,1,3) transposes measured +0.11 ms/block at
+    ViT-B batch 64, outputs bit-identical)."""
+    b = x.shape[0]
     nh = spec.heads
     hd = spec.dim // nh
-    # unpadded: the core is logits-bandwidth bound, and 197->256 key/value
-    # padding measured neutral-to-worse (module docstring; KERNEL_STUDIES §7)
-    n_pad = 0
-    for i in range(spec.depth):
-        blk = params[f"blk{i}"]
-        # attention — head split via reshape only; the contractions carry
-        # the head axis in-place (explicit (0,2,1,3) transposes measured
-        # +0.11 ms/block at ViT-B batch 64, outputs bit-identical)
-        y = _layernorm(x, blk["ln1"])
-        qkv = _proj(y, blk["qkv"])  # (B, N, 3D)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, -1, nh, hd)
-        k = k.reshape(b, -1, nh, hd)
-        v = v.reshape(b, -1, nh, hd)
-        o = _masked_attention(q, k, v, n_pad, attn_logits_dtype)
-        o = cast(o.reshape(b, -1, spec.dim))
-        x = x + cast(_proj(o, blk["out"]))
-        # mlp
-        y = _layernorm(x, blk["ln2"])
-        y = cast(jax.nn.gelu(_proj(y, blk["mlp1"])))
-        x = x + cast(_proj(y, blk["mlp2"]))
+    y = _layernorm(x, blk["ln1"])
+    qkv = _proj(y, blk["qkv"])  # (B, N, 3D)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, -1, nh, hd)
+    k = k.reshape(b, -1, nh, hd)
+    v = v.reshape(b, -1, nh, hd)
+    o = _masked_attention(q, k, v, 0, attn_logits_dtype)
+    o = cast(o.reshape(b, -1, spec.dim))
+    x = x + cast(_proj(o, blk["out"]))
+    y = _layernorm(x, blk["ln2"])
+    y = cast(jax.nn.gelu(_proj(y, blk["mlp1"])))
+    return x + cast(_proj(y, blk["mlp2"]))
 
+
+def _run_head(x, params, with_softmax: bool):
     x = _layernorm(x, params["ln_final"])
     logits = _proj(x[:, 0], params["head"]).astype(jnp.float32)
     if with_softmax:
         logits = jax.nn.softmax(logits, axis=-1)
     return logits
+
+
+def forward_segments(spec: ViTSpec, *, compute_dtype=None,
+                     with_softmax: bool = False, attn_logits_dtype=None):
+    """[(name, fn(x, params) -> x)] whose composition equals forward —
+    feeds eval.profiler.profile_segments (family DispElpsTime analogue)."""
+    if attn_logits_dtype is None:
+        attn_logits_dtype = (
+            jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
+        )
+    cast = _make_cast(compute_dtype)
+
+    def embed(x, p):
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+        return _run_embed(x, p, spec, cast)
+
+    segs = [("embed", embed)]
+    for i in range(spec.depth):
+        segs.append((
+            f"blk{i}",
+            lambda x, p, i=i: _run_block(
+                x, p[f"blk{i}"], spec, cast, attn_logits_dtype
+            ),
+        ))
+    segs.append(("head", lambda x, p: _run_head(x, p, with_softmax)))
+    return segs
 
 
 # ---------------------------------------------------------------------------
@@ -272,8 +313,12 @@ def quantize_params(
     return {name: quant(p) for name, p in dense.items()}
 
 
-def prepare_params(spec: ViTSpec, params: dict, dtype=jnp.bfloat16) -> dict:
-    """Decode PQ GEMMs to dense `dtype` host-side."""
+def prepare_params(spec: ViTSpec, params: dict, dtype=jnp.bfloat16,
+                   *, memory: bool = False) -> dict:
+    """Decode PQ GEMMs to dense `dtype` host-side.
+
+    memory=True keeps PQ layers compressed (in-step one-hot decode at
+    execution, KERNEL_STUDIES §9b); see resnet.prepare_params."""
     import ml_dtypes
 
     from qcnn_tpu.models.prepare import _decode_fc_weight_np
@@ -296,6 +341,13 @@ def prepare_params(spec: ViTSpec, params: dict, dtype=jnp.bfloat16) -> dict:
 
     def prep(p, path):
         if isinstance(p, dict) and "codebooks" in p:
+            if memory:
+                cb_dtype = ml_dtypes.bfloat16 if int8 else np_dtype
+                return {
+                    "codebooks": np.asarray(p["codebooks"], cb_dtype),
+                    "assignments": np.asarray(p["assignments"]),
+                    "bias": np.asarray(p["bias"], np.float32),
+                }
             w = _decode_fc_weight_np(
                 np.asarray(p["codebooks"]), np.asarray(p["assignments"]),
                 cin_map[path],

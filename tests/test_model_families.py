@@ -75,6 +75,31 @@ class TestResNet:
         rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
         assert rel < 0.2
 
+    def test_memory_prepare_keeps_pq_and_matches_decode(self, small):
+        """Family memory mode: prepare(memory=True) keeps codebooks+
+        assignments resident; the in-step one-hot decode matches
+        decode-at-load in f32."""
+        spec, dense, x = small
+        pq = resnet.quantize_params(spec, dense)
+        p_dec = resnet.prepare_params(spec, pq, dtype=jnp.float32)
+        p_mem = resnet.prepare_params(spec, pq, dtype=jnp.float32,
+                                      memory=True)
+        leaves = jax.tree_util.tree_leaves_with_path(p_mem)
+        assert any("codebooks" in str(k) for k, _ in leaves)
+        want = np.asarray(resnet.forward(p_dec, x, spec=spec))
+        got = np.asarray(resnet.forward(p_mem, x, spec=spec))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_forward_segments_compose_to_forward(self, small):
+        """forward_segments (the profile CLI's family path) composes to
+        exactly the full forward."""
+        spec, dense, x = small
+        want = np.asarray(resnet.forward(dense, x, spec=spec))
+        y = x
+        for _, fn in resnet.forward_segments(spec):
+            y = fn(y, dense)
+        np.testing.assert_array_equal(np.asarray(y), want)
+
     def test_fold_batchnorm(self):
         rng = np.random.default_rng(2)
         conv = {
@@ -150,6 +175,26 @@ class TestViT:
         assert out.dtype == np.float32
         ref = np.asarray(vit.forward(dense, x, spec=spec))
         assert np.argmax(out, -1).tolist() == np.argmax(ref, -1).tolist()
+
+    def test_memory_prepare_keeps_pq_and_matches_decode(self, tiny):
+        spec, dense, x = tiny
+        pq = vit.quantize_params(spec, dense, num_codewords=16)
+        p_dec = vit.prepare_params(spec, pq, dtype=jnp.float32)
+        p_mem = vit.prepare_params(spec, pq, dtype=jnp.float32, memory=True)
+        leaves = jax.tree_util.tree_leaves_with_path(p_mem)
+        assert any("codebooks" in str(k) for k, _ in leaves)
+        want = np.asarray(vit.forward(p_dec, x, spec=spec))
+        got = np.asarray(vit.forward(p_mem, x, spec=spec))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_forward_segments_compose_to_forward(self, tiny):
+        spec, dense, x = tiny
+        want = np.asarray(vit.forward(dense, x, spec=spec,
+                                      compute_dtype=jnp.bfloat16))
+        y = x
+        for _, fn in vit.forward_segments(spec, compute_dtype=jnp.bfloat16):
+            y = fn(y, dense)
+        np.testing.assert_array_equal(np.asarray(y), want)
 
     def test_bf16_attn_logits(self, tiny):
         """bf16 attention-logits materialization (the default whenever
