@@ -122,26 +122,30 @@ class TestShardMapOps:
         }
         return x, params
 
-    def test_row_parallel_matches_single_device(self, rng):
+    @pytest.mark.parametrize("impl", ["gather", "indecode"])
+    def test_row_parallel_matches_single_device(self, rng, impl):
+        # indecode: the memory-mode in-step one-hot decode works under
+        # explicit tp sharding too (local S-span decode + psum)
         from qcnn_tpu.ops.fc import pq_fc
         from qcnn_tpu.parallel.mesh import make_mesh
         from qcnn_tpu.parallel.shardmap_ops import row_parallel_pq_fc
 
         x, p = self._data(rng)
         mesh = make_mesh(jax.devices(), dp=2, tp=4)
-        fn = jax.jit(row_parallel_pq_fc(mesh, impl="gather"))
+        fn = jax.jit(row_parallel_pq_fc(mesh, impl=impl))
         got = np.asarray(fn(x, p["codebooks"], p["assignments"], p["bias"]))
         want = np.asarray(pq_fc(x, p, impl="gather"))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
-    def test_column_parallel_matches_single_device(self, rng):
+    @pytest.mark.parametrize("impl", ["gather", "indecode"])
+    def test_column_parallel_matches_single_device(self, rng, impl):
         from qcnn_tpu.ops.fc import pq_fc
         from qcnn_tpu.parallel.mesh import make_mesh
         from qcnn_tpu.parallel.shardmap_ops import column_parallel_pq_fc
 
         x, p = self._data(rng)
         mesh = make_mesh(jax.devices(), dp=2, tp=4)
-        fn = jax.jit(column_parallel_pq_fc(mesh, impl="gather"))
+        fn = jax.jit(column_parallel_pq_fc(mesh, impl=impl))
         got = np.asarray(fn(x, p["codebooks"], p["assignments"], p["bias"]))
         want = np.asarray(pq_fc(x, p, impl="gather"))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
