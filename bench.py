@@ -94,10 +94,12 @@ def dp_wrap(step, dp: int):
 
 
 def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
-                 dp: int = 0, memory: bool = False):
+                 dp: int = 0, memory: bool = False,
+                 conv_impl: str = "auto", fc_impl: str = "auto"):
     """Throughput for the ResNet/ViT PQ families (synthetic weights —
     no pretrained checkpoints ship offline; timing is weight-agnostic).
-    memory=True keeps PQ params compressed (in-step one-hot decode)."""
+    memory=True keeps PQ params compressed (in-step one-hot decode);
+    conv_impl/fc_impl apply to the linear-spec models (vgg16 etc.)."""
     import jax
     import jax.numpy as _jnp
     import numpy as np
@@ -114,7 +116,8 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
         spec = zoo.get_model(model)
         pq = synth.random_pq_params(spec, seed=0)
         prepared, ci, fi = prepare_params(
-            spec, pq, batch_hint=batch, dtype=dtype
+            spec, pq, batch_hint=batch, dtype=dtype,
+            conv_impl=conv_impl, fc_impl=fc_impl,
         )
         prepared = jax.device_put(prepared)
         x = rng.standard_normal(
@@ -212,6 +215,7 @@ def main() -> None:
                 args.model, args.batch, dtype_arg, args.k1, args.k2,
                 dp=args.dp,
                 memory=("memory" in (args.conv_impl, args.fc_impl)),
+                conv_impl=args.conv_impl, fc_impl=args.fc_impl,
             )
         except NotImplementedError as e:
             log(f"error: {e}")

@@ -184,26 +184,60 @@ class ReferenceResult:
     probs: np.ndarray       # (top_k,) float
 
 
+# model key -> (data subdir, file prefix) — the reference wrapper's wiring
+# (CaffeEvaWrapper.cc:88-131). VGG16 is declared unsupported by the wrapper
+# (:77-80). vgg_cnn_s is the only Relaxed-resize + Crop-mean model, so its
+# parity run uniquely covers that preprocessing path.
+MODEL_WIRING = {
+    "alexnet": ("AlexNet", "bvlc_alexnet_aCaF"),
+    "caffenet": ("CaffeNet", "bvlc_caffenet_aCaF"),
+    "vgg_cnn_s": ("VggCnnS", "vgg_cnn_s_aCaF"),
+    "caffenet_fgb": ("CaffeNetFGB", "bvlc_caffenetfgb_aCaF"),
+    "caffenet_fgd": ("CaffeNetFGD", "bvlc_caffenetfgd_aCaF"),
+}
+
+
+def synth_mean_path(data_dir: str, model: str) -> str:
+    return os.path.join(data_dir, MODEL_WIRING[model][0],
+                        "imagenet_mean.single.bin")
+
+
 def prepare_synth_data_dir(
     spec,
     params,
     subdir: str,
     *,
+    model: str = "alexnet",
     scratch_dir: str = SCRATCH_DIR,
     reference_dir: str = REFERENCE_DIR,
 ) -> str:
-    """Scratch main-dir carrying a FULLY synthetic quantized AlexNet written
+    """Scratch main-dir carrying a FULLY synthetic quantized model written
     in the reference's loose-file layout (save_reference_model). Both engines
     then run identical synthetic weights with every layer input-dependent —
-    the conv-stack-sensitive complement to the shipped-weights parity run."""
+    the conv-stack-sensitive complement to the shipped-weights parity run.
+
+    Mean image: Full-mean models (256x256) symlink the shipped AlexNet mean;
+    vgg_cnn_s needs a CROP-sized (3, 224, 224) mean (RmMeanImg hard-requires
+    the crop size, BmpImgIO.cc:203-224) which no asset ships — a
+    deterministic synthetic mean is written so subtraction is exercised
+    identically in both engines."""
+    from qcnn_tpu.formats.reference_codec import write_bin
     from qcnn_tpu.models.loader import save_reference_model
 
+    model_dir, prefix = MODEL_WIRING[model]
     data_dir = os.path.join(scratch_dir, subdir)
-    bin_dir = os.path.join(data_dir, "AlexNet", "Bin.Files")
+    bin_dir = os.path.join(data_dir, model_dir, "Bin.Files")
     os.makedirs(bin_dir, exist_ok=True)
-    save_reference_model(spec, params, bin_dir, "bvlc_alexnet_aCaF")
-    mean_dst = os.path.join(data_dir, "AlexNet", "imagenet_mean.single.bin")
-    if not os.path.lexists(mean_dst):
+    save_reference_model(spec, params, bin_dir, prefix)
+    mean_dst = synth_mean_path(data_dir, model)
+    if model == "vgg_cnn_s":
+        if not os.path.exists(mean_dst):
+            rng = np.random.default_rng(11)
+            mean = (
+                110.0 + 20.0 * rng.standard_normal((3, 224, 224))
+            ).astype(np.float32)
+            write_bin(mean_dst, mean)
+    elif not os.path.lexists(mean_dst):
         os.symlink(
             os.path.join(reference_dir, "AlexNet", "imagenet_mean.single.bin"),
             mean_dst,
@@ -221,6 +255,7 @@ def run_reference(
     scratch_dir: str = SCRATCH_DIR,
     reference_dir: str = REFERENCE_DIR,
     data_dir: str | None = None,
+    model: str = "alexnet",
     timeout_s: float = 900.0,
 ) -> list[ReferenceResult]:
     """Run the reference engine on BMPs; returns its sorted distributions."""
@@ -229,6 +264,7 @@ def run_reference(
         data_dir = prepare_data_dir(scratch_dir, reference_dir)
     cmd = [
         binary,
+        model,
         data_dir,
         os.path.join(data_dir, "Cls.Names", "class_names.txt"),
         os.path.join(data_dir, "Cls.Names", "image_labels.txt"),

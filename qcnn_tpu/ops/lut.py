@@ -111,12 +111,29 @@ def decode_fc_weight_onehot(
     codebook value, exact in any float dtype).
     """
     s, k, d = codebooks.shape
-    oh = jax.nn.one_hot(
-        assignments.astype(jnp.int32), k, dtype=codebooks.dtype
-    )  # (Cout, S, K)
-    w = jnp.einsum("osk,skd->osd", oh, codebooks)
+    w = jnp.einsum(
+        "osk,skd->osd", _onehot_compare(assignments, k, codebooks.dtype),
+        codebooks,
+    )
     w = w.reshape(assignments.shape[0], s * d)[:, :in_features]
     return w.T
+
+
+def _onehot_compare(assignments: jax.Array, k: int, dtype) -> jax.Array:
+    """One-hot of the assignment indices as an inline iota-compare.
+
+    Isolated decode at ResNet conv geometry measures 1.7x faster than
+    jax.nn.one_hot (tools/onehot_decode_dtype_ab.py: 81 vs 136 us); the
+    full resnet50 memory step is neutral within the pooled chip's ~15%
+    run-to-run variance (same-session A/B flipped winners across rounds).
+    Kept: at-worst-neutral and hands XLA the raw compare producer to fuse
+    into the dot operand."""
+    import jax.lax as lax
+
+    i = lax.broadcasted_iota(
+        jnp.int32, (1,) * assignments.ndim + (k,), assignments.ndim
+    )
+    return (assignments.astype(jnp.int32)[..., None] == i).astype(dtype)
 
 
 def decode_conv_kernel_onehot(
@@ -130,10 +147,10 @@ def decode_conv_kernel_onehot(
     """
     s, k, d = codebooks.shape
     cout, kh, kw, s2 = assignments.shape
-    oh = jax.nn.one_hot(
-        assignments.astype(jnp.int32), k, dtype=codebooks.dtype
-    )  # (Cout, kh, kw, S, K)
-    w = jnp.einsum("...sk,skd->...sd", oh, codebooks)
+    w = jnp.einsum(
+        "...sk,skd->...sd", _onehot_compare(assignments, k, codebooks.dtype),
+        codebooks,
+    )
     w = w.reshape(cout, kh, kw, s * d)[..., :in_channels_per_group]
     return jnp.transpose(w, (1, 2, 3, 0))
 

@@ -84,6 +84,75 @@ def test_shipped_weights_parity(bmps):
         )
 
 
+@pytest.mark.parametrize("model", ["caffenet", "vgg_cnn_s"])
+def test_synthetic_parity_other_models(bmps, model):
+    """Cross-engine parity beyond AlexNet: caffenet (different layer order
+    than AlexNet: pool before LRN) and vgg_cnn_s (the only Relaxed-resize +
+    Crop-mean model — uniquely covers that preprocessing path,
+    BmpImgIO.cc:56-68,105-178). Both engines run identical synthetic
+    calibrated PQ weights; vgg_cnn_s also shares an identical synthetic
+    crop-sized mean image."""
+    import jax.numpy as jnp
+
+    from qcnn_tpu.eval.harness import Classifier
+    from qcnn_tpu.models import zoo
+    from qcnn_tpu.preproc.pipeline import Preprocessor
+
+    paths = bmps[:3]
+    spec = zoo.get_model(model)
+    data_dir_name = f"data_synth_{model}"
+
+    # data dir must exist before the Preprocessor can load the mean
+    params_placeholder = None  # filled after calibration below
+    # build preprocessing first against the mean the scratch dir will carry
+    if model == "vgg_cnn_s":
+        # write the scratch dir in two steps: mean first (needed by the
+        # calibration preprocessor), weights after calibration
+        import numpy as _np
+
+        from qcnn_tpu.formats.reference_codec import write_bin
+
+        data_dir = os.path.join(refeng.SCRATCH_DIR, data_dir_name)
+        mean_path = refeng.synth_mean_path(data_dir, model)
+        os.makedirs(os.path.dirname(mean_path), exist_ok=True)
+        if not os.path.exists(mean_path):
+            rng = _np.random.default_rng(11)
+            write_bin(mean_path, (
+                110.0 + 20.0 * rng.standard_normal((3, 224, 224))
+            ).astype(_np.float32))
+        pre = Preprocessor.vgg_cnn_s(mean_path)
+    else:
+        pre = Preprocessor.alexnet(
+            "/root/reference/AlexNet/imagenet_mean.single.bin"
+        )
+    calib = pre.load(paths[0])
+    params = refeng.synthesize_live_pq_params(spec, calib, seed=9)
+    del params_placeholder
+    data_dir = refeng.prepare_synth_data_dir(
+        spec, params, data_dir_name, model=model
+    )
+    ref = refeng.run_reference(
+        paths, top_k=1000, data_dir=data_dir, model=model
+    )
+
+    clf = Classifier(spec, params, pre, compute_dtype=jnp.float32)
+    ours = clf.classify_batch(paths, top_k=1000)
+
+    ref_probs = _probs_matrix(ref)
+    our_probs = np.zeros_like(ref_probs)
+    for i, r in enumerate(ours):
+        our_probs[i, r.class_ids] = r.probs
+
+    assert np.abs(ref_probs[0] - ref_probs[1]).max() > 1e-4
+    max_delta = np.abs(ref_probs - our_probs).max()
+    print(f"{model} synthetic parity: max prob delta {max_delta:.3g}")
+    np.testing.assert_allclose(our_probs, ref_probs, atol=1e-4, rtol=1e-2)
+    for i in range(len(paths)):
+        assert ref[i].class_ids[0] == ours[i].class_ids[0], (
+            f"top-1 mismatch on {os.path.basename(paths[i])}"
+        )
+
+
 def test_synthetic_model_parity_full_stack(bmps):
     """Both engines run an identical fully-synthetic calibrated PQ AlexNet:
     every layer alive and input-dependent, so agreement here covers the

@@ -10,7 +10,11 @@
 // high-precision output). Built by qcnn_tpu/eval/reference_engine.py; never
 // part of the qcnn_tpu runtime.
 //
-// Usage: parity_driver <main_dir> <cls_names> <img_labels> <top_k> <bmp>...
+// Usage: parity_driver <model> <main_dir> <cls_names> <img_labels> <top_k>
+//        <bmp>...
+// <model>: alexnet | caffenet | vgg_cnn_s | caffenet_fgb | caffenet_fgd
+// (VGG16 is declared unsupported by the reference wrapper,
+// CaffeEvaWrapper.cc:77-80)
 //
 // Output per image (stdout, amid the reference's own prints):
 //   PARITY_IMG <path>
@@ -22,18 +26,33 @@
 
 #include "CaffeEvaWrapper.h"
 
+static bool ParseModel(const std::string& name, ENUM_CaffeModel* out) {
+  if (name == "alexnet") *out = ENUM_CaffeModel::AlexNet;
+  else if (name == "caffenet") *out = ENUM_CaffeModel::CaffeNet;
+  else if (name == "vgg_cnn_s") *out = ENUM_CaffeModel::VggCnnS;
+  else if (name == "caffenet_fgb") *out = ENUM_CaffeModel::CaffeNetFGB;
+  else if (name == "caffenet_fgd") *out = ENUM_CaffeModel::CaffeNetFGD;
+  else return false;
+  return true;
+}
+
 int main(int argc, char* argv[]) {
-  if (argc < 6) {
+  if (argc < 7) {
     std::fprintf(stderr,
-                 "usage: %s <main_dir> <cls_names> <img_labels> <top_k> "
-                 "<bmp>...\n",
+                 "usage: %s <model> <main_dir> <cls_names> <img_labels> "
+                 "<top_k> <bmp>...\n",
                  argv[0]);
     return 2;
   }
-  const std::string mainDir = argv[1];
-  const std::string clsNames = argv[2];
-  const std::string imgLabls = argv[3];
-  const int topK = std::atoi(argv[4]);
+  ENUM_CaffeModel model;
+  if (!ParseModel(argv[1], &model)) {
+    std::fprintf(stderr, "PARITY_ERR unknown model %s\n", argv[1]);
+    return 2;
+  }
+  const std::string mainDir = argv[2];
+  const std::string clsNames = argv[3];
+  const std::string imgLabls = argv[4];
+  const int topK = std::atoi(argv[5]);
 
   CaffeEvaWrapper wrapper;
   if (!wrapper.SetPath(mainDir, clsNames, imgLabls)) {
@@ -41,12 +60,12 @@ int main(int argc, char* argv[]) {
                  wrapper.GetErrorMsg().c_str());
     return 1;
   }
-  if (!wrapper.SetModel(ENUM_CaffeModel::AlexNet, ENUM_CompMethod::Aprx)) {
+  if (!wrapper.SetModel(model, ENUM_CompMethod::Aprx)) {
     std::fprintf(stderr, "PARITY_ERR SetModel: %s\n",
                  wrapper.GetErrorMsg().c_str());
     return 1;
   }
-  for (int i = 5; i < argc; ++i) {
+  for (int i = 6; i < argc; ++i) {
     CaffeEvaRslt rslt;
     rslt.clsCntPred = topK;
     if (!wrapper.Proc(argv[i], &rslt)) {
