@@ -84,7 +84,15 @@ def test_shipped_weights_parity(bmps):
         )
 
 
-@pytest.mark.parametrize("model", ["caffenet", "vgg_cnn_s"])
+# caffenet_fgb (518 classes) is excluded: the REFERENCE engine's
+# hand-unrolled x8 FC gather (CaffeEva.cc:1008-1016) writes
+# featVecDst[512..519] on the 518-wide classifier — a heap-corrupting
+# out-of-bounds write for any FC output dim not divisible by 8
+# (reproduced: glibc "free(): invalid next size" abort). Our engine has no
+# such constraint; FGD's 200-class head (divisible by 8) pins that spec.
+@pytest.mark.parametrize(
+    "model", ["caffenet", "vgg_cnn_s", "caffenet_fgd"]
+)
 def test_synthetic_parity_other_models(bmps, model):
     """Cross-engine parity beyond AlexNet: caffenet (different layer order
     than AlexNet: pool before LRN) and vgg_cnn_s (the only Relaxed-resize +
@@ -131,12 +139,17 @@ def test_synthetic_parity_other_models(bmps, model):
     data_dir = refeng.prepare_synth_data_dir(
         spec, params, data_dir_name, model=model
     )
+    # top_k > num_classes heap-corrupts the REFERENCE engine (its top-k
+    # loop zeroes-and-rescans clsCntPred times over a num_classes-wide
+    # buffer, CaffeEvaWrapper.cc:185-205 + CaffeEva.cc:1174-1188) — FGB/FGD
+    # have 518/200 classes, so cap at the model's own class count.
+    top_k = min(1000, spec.num_classes)
     ref = refeng.run_reference(
-        paths, top_k=1000, data_dir=data_dir, model=model
+        paths, top_k=top_k, data_dir=data_dir, model=model
     )
 
     clf = Classifier(spec, params, pre, compute_dtype=jnp.float32)
-    ours = clf.classify_batch(paths, top_k=1000)
+    ours = clf.classify_batch(paths, top_k=top_k)
 
     ref_probs = _probs_matrix(ref)
     our_probs = np.zeros_like(ref_probs)
