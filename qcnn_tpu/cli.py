@@ -452,8 +452,11 @@ def cmd_serve(args) -> int:
                 fam.forward, spec=spec, compute_dtype=jnp.bfloat16,
                 with_softmax=True,
             )
+            import ml_dtypes
+
             engine = BatchingEngine.from_forward(
-                fwd, prepared, (size, size, 3), config=config
+                fwd, prepared, (size, size, 3), config=config,
+                upload_dtype=ml_dtypes.bfloat16,
             ).start()
         else:
             from qcnn_tpu.formats.checkpoint import (
@@ -494,8 +497,11 @@ def cmd_serve(args) -> int:
             fam.forward, spec=spec, compute_dtype=jnp.bfloat16,
             with_softmax=True,
         )
+        import ml_dtypes
+
         engine = BatchingEngine.from_forward(
-            fwd, prepared, (size, size, 3), config=config
+            fwd, prepared, (size, size, 3), config=config,
+            upload_dtype=ml_dtypes.bfloat16,
         ).start()
     else:
         from qcnn_tpu.eval.harness import Classifier
