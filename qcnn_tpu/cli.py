@@ -398,7 +398,17 @@ def cmd_make_family(args) -> int:
 
         spec = fam.VITS[args.model]()
         family = "vit"
-    dense = fam.init_dense_params(spec, seed=args.seed)
+    if args.from_torch:
+        if family != "resnet":
+            log("error: --from-torch supports the ResNet family only")
+            return 2
+        from qcnn_tpu.models.torch_import import load_torch_resnet
+
+        dense = load_torch_resnet(spec, args.from_torch)
+        log(f"imported torchvision-format weights from {args.from_torch} "
+            "(BatchNorms folded)")
+    else:
+        dense = fam.init_dense_params(spec, seed=args.seed)
     params = dense if args.dense else fam.quantize_params(spec, dense)
     save_family_checkpoint(args.out, family, spec, params, store=args.store)
     log(f"wrote {'dense' if args.dense else 'PQ'} {args.model} "
@@ -723,6 +733,10 @@ def build_parser() -> argparse.ArgumentParser:
                                       "vit_b16", "vit_s16"])
     mf.add_argument("out")
     mf.add_argument("--seed", type=int, default=0)
+    mf.add_argument("--from-torch", default=None, metavar="PATH",
+                    help="import a torchvision-format ResNet .pt/.pth "
+                         "state_dict (BatchNorms folded) instead of "
+                         "synthetic weights")
     mf.add_argument("--dense", action="store_true",
                     help="skip quantization (FP32 checkpoint)")
     mf.add_argument("--cpu", action="store_true",

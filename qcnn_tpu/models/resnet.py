@@ -161,7 +161,9 @@ def _run_stem(x, params, cast):
     from qcnn_tpu.ops.misc import caffe_max_pool
 
     x = cast(relu(_apply_conv(x, params["stem"], stride=2, pad=3)))
-    return caffe_max_pool(x, kernel=3, stride=2, pad=1)
+    # floor-mode (torch/canonical) pool: 112 -> 56, matching torchvision so
+    # pretrained weights import 1:1 (ceil mode would give 57)
+    return caffe_max_pool(x, kernel=3, stride=2, pad=1, ceil_mode=False)
 
 
 def _run_head(x, params, cast, with_softmax: bool):

@@ -8,17 +8,27 @@ from jax import lax
 
 
 def caffe_max_pool(
-    x: jax.Array, *, kernel: int, stride: int, pad: int = 0
+    x: jax.Array, *, kernel: int, stride: int, pad: int = 0,
+    ceil_mode: bool = True,
 ) -> jax.Array:
     """Max pooling with Caffe's CEIL output-size rule.
 
     out = ceil((H + 2p - k)/s) + 1 (CaffeEva.cc:367-370); border windows are
     clamped to valid pixels (:885-898), which -inf padding reproduces exactly
     for max reduction.
+
+    ceil_mode=False gives the torch/canonical FLOOR rule instead
+    (out = floor((H + 2p - k)/s) + 1) — used by the ResNet family so
+    torchvision-format pretrained weights import 1:1 (their stem pool is
+    floor-mode 112->56; Caffe's ceil rule would give 57).
     """
     b, h, w, c = x.shape
-    oh = -(-(h + 2 * pad - kernel) // stride) + 1
-    ow = -(-(w + 2 * pad - kernel) // stride) + 1
+    if ceil_mode:
+        oh = -(-(h + 2 * pad - kernel) // stride) + 1
+        ow = -(-(w + 2 * pad - kernel) // stride) + 1
+    else:
+        oh = (h + 2 * pad - kernel) // stride + 1
+        ow = (w + 2 * pad - kernel) // stride + 1
     pad_h_hi = max(0, (oh - 1) * stride + kernel - h - pad)
     pad_w_hi = max(0, (ow - 1) * stride + kernel - w - pad)
     return lax.reduce_window(

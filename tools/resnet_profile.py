@@ -99,7 +99,8 @@ def main() -> int:
             y = cast(relu(resnet._apply_conv(x.astype(jnp.bfloat16),
                                              params["stem"],
                                              stride=2, pad=3)))
-            y = caffe_max_pool(y, kernel=3, stride=2, pad=1)
+            y = caffe_max_pool(y, kernel=3, stride=2, pad=1,
+                               ceil_mode=False)
             for s in range(n_stages):
                 for b in range(spec.stage_depths[s]):
                     block = params[f"s{s}b{b}"]
