@@ -399,14 +399,15 @@ def cmd_make_family(args) -> int:
         spec = fam.VITS[args.model]()
         family = "vit"
     if args.from_torch:
-        if family != "resnet":
-            log("error: --from-torch supports the ResNet family only")
-            return 2
-        from qcnn_tpu.models.torch_import import load_torch_resnet
+        from qcnn_tpu.models import torch_import
 
-        dense = load_torch_resnet(spec, args.from_torch)
-        log(f"imported torchvision-format weights from {args.from_torch} "
-            "(BatchNorms folded)")
+        if family == "resnet":
+            dense = torch_import.load_torch_resnet(spec, args.from_torch)
+            log(f"imported torchvision-format weights from "
+                f"{args.from_torch} (BatchNorms folded)")
+        else:
+            dense = torch_import.load_torch_vit(spec, args.from_torch)
+            log(f"imported timm-format ViT weights from {args.from_torch}")
     else:
         dense = fam.init_dense_params(spec, seed=args.seed)
     params = dense if args.dense else fam.quantize_params(spec, dense)
@@ -734,9 +735,9 @@ def build_parser() -> argparse.ArgumentParser:
     mf.add_argument("out")
     mf.add_argument("--seed", type=int, default=0)
     mf.add_argument("--from-torch", default=None, metavar="PATH",
-                    help="import a torchvision-format ResNet .pt/.pth "
-                         "state_dict (BatchNorms folded) instead of "
-                         "synthetic weights")
+                    help="import a .pt/.pth state_dict instead of synthetic "
+                         "weights: torchvision naming for ResNet "
+                         "(BatchNorms folded), timm naming for ViT")
     mf.add_argument("--dense", action="store_true",
                     help="skip quantization (FP32 checkpoint)")
     mf.add_argument("--cpu", action="store_true",

@@ -1,11 +1,12 @@
-"""torchvision-format ResNet checkpoint ingestion.
+"""torch-ecosystem checkpoint ingestion for the model families.
 
 The reference lineage's real-world weight format is Caffe protobuf
-(formats/caffe_pb.py covers the linear zoo models); for the ResNet family
-the ecosystem's standard is the torchvision state_dict (`resnet18`/
+(formats/caffe_pb.py covers the linear zoo models); for the families the
+ecosystem standards are the torchvision ResNet state_dict (`resnet18`/
 `resnet50` naming: conv1/bn1, layer{1..4}.{b}.conv{i}/bn{i}/downsample,
-fc). This module maps such a state_dict onto models/resnet.py's dense
-parameter pytree:
+fc) and the timm ViT state_dict (patch_embed.proj, blocks.{i}.attn.qkv,
+...). This module maps either onto the corresponding dense parameter
+pytree. For ResNet:
 
 - conv weights transpose OIHW -> HWIO;
 - every BatchNorm folds into its preceding conv (fold_batchnorm — valid at
@@ -77,9 +78,60 @@ def resnet_from_torch_state_dict(
     return params
 
 
-def load_torch_resnet(spec: ResNetSpec, path: str) -> dict:
-    """Load a .pt/.pth file (a state_dict, or a dict carrying one under
-    'state_dict'/'model') and map it onto the dense params pytree."""
+def vit_from_torch_state_dict(spec, state_dict: Mapping) -> dict:
+    """Map a timm-naming ViT state_dict (vit_base_patch16_224 family:
+    patch_embed.proj, cls_token, pos_embed, blocks.{i}.norm1/attn.qkv/
+    attn.proj/norm2/mlp.fc1/mlp.fc2, norm, head) onto models/vit.py's
+    dense pytree.
+
+    The patch-embedding conv (D, 3, p, p) becomes a GEMM over our
+    (row, col, channel)-flattened patch vectors: permute to (p, p, 3, D)
+    then reshape — the same (i, j, ch) order forward() produces.
+    """
+    sd = state_dict
+    p = spec.patch
+
+    def gemm(prefix: str, transpose: bool = True) -> dict:
+        w = _np(sd[f"{prefix}.weight"])
+        return {
+            "weight": (w.T if transpose else w).copy(),
+            "bias": _np(sd[f"{prefix}.bias"]),
+        }
+
+    def ln(prefix: str) -> dict:
+        return {
+            "scale": _np(sd[f"{prefix}.weight"]),
+            "shift": _np(sd[f"{prefix}.bias"]),
+        }
+
+    w_patch = _np(sd["patch_embed.proj.weight"])  # (D, 3, p, p)
+    params: dict = {
+        "patch_embed": {
+            "weight": np.transpose(w_patch, (2, 3, 1, 0))
+            .reshape(p * p * 3, spec.dim).copy(),
+            "bias": _np(sd["patch_embed.proj.bias"]),
+        },
+        "cls_token": _np(sd["cls_token"]).reshape(1, 1, spec.dim),
+        "pos_embed": _np(sd["pos_embed"]).reshape(1, spec.seq_len, spec.dim),
+        "ln_final": ln("norm"),
+        "head": gemm("head"),
+    }
+    for i in range(spec.depth):
+        b = f"blocks.{i}"
+        params[f"blk{i}"] = {
+            "ln1": ln(f"{b}.norm1"),
+            "qkv": gemm(f"{b}.attn.qkv"),
+            "out": gemm(f"{b}.attn.proj"),
+            "ln2": ln(f"{b}.norm2"),
+            "mlp1": gemm(f"{b}.mlp.fc1"),
+            "mlp2": gemm(f"{b}.mlp.fc2"),
+        }
+    return params
+
+
+def _load_state_dict(path: str):
+    """Load a .pt/.pth file: a bare state_dict, or a dict carrying one
+    under 'state_dict'/'model'."""
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=True)
@@ -90,4 +142,12 @@ def load_torch_resnet(spec: ResNetSpec, path: str) -> dict:
             if key in obj:
                 obj = obj[key]
                 break
-    return resnet_from_torch_state_dict(spec, obj)
+    return obj
+
+
+def load_torch_resnet(spec: ResNetSpec, path: str) -> dict:
+    return resnet_from_torch_state_dict(spec, _load_state_dict(path))
+
+
+def load_torch_vit(spec, path: str) -> dict:
+    return vit_from_torch_state_dict(spec, _load_state_dict(path))

@@ -238,7 +238,10 @@ def _run_block(x, blk, spec, cast, attn_logits_dtype):
     o = cast(o.reshape(b, -1, spec.dim))
     x = x + cast(_proj(o, blk["out"]))
     y = _layernorm(x, blk["ln2"])
-    y = cast(jax.nn.gelu(_proj(y, blk["mlp1"])))
+    # exact (erf) GELU, matching timm/torch semantics so imported
+    # pretrained weights reproduce 1:1 (jax.nn.gelu defaults to the tanh
+    # approximation); elementwise-bandwidth-bound either way
+    y = cast(jax.nn.gelu(_proj(y, blk["mlp1"]), approximate=False))
     return x + cast(_proj(y, blk["mlp2"]))
 
 

@@ -125,6 +125,98 @@ def test_torch_state_dict_parity(model):
     np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
 
 
+def _mk_vit_state_dict(spec, rng):
+    """Random timm-naming ViT state_dict."""
+    d = spec.dim
+    sd = {}
+
+    def t(a):
+        return torch.tensor(np.asarray(a, np.float32))
+
+    def gemm(name, cin, cout):
+        sd[f"{name}.weight"] = t(rng.standard_normal((cout, cin))
+                                 / np.sqrt(cin))
+        sd[f"{name}.bias"] = t(0.02 * rng.standard_normal(cout))
+
+    def ln(name, c):
+        sd[f"{name}.weight"] = t(1.0 + 0.05 * rng.standard_normal(c))
+        sd[f"{name}.bias"] = t(0.02 * rng.standard_normal(c))
+
+    p = spec.patch
+    sd["patch_embed.proj.weight"] = t(
+        rng.standard_normal((d, 3, p, p)) / np.sqrt(3 * p * p))
+    sd["patch_embed.proj.bias"] = t(0.02 * rng.standard_normal(d))
+    sd["cls_token"] = t(0.02 * rng.standard_normal((1, 1, d)))
+    sd["pos_embed"] = t(0.02 * rng.standard_normal((1, spec.seq_len, d)))
+    for i in range(spec.depth):
+        b = f"blocks.{i}"
+        ln(f"{b}.norm1", d)
+        gemm(f"{b}.attn.qkv", d, 3 * d)
+        gemm(f"{b}.attn.proj", d, d)
+        ln(f"{b}.norm2", d)
+        gemm(f"{b}.mlp.fc1", d, spec.mlp_ratio * d)
+        gemm(f"{b}.mlp.fc2", spec.mlp_ratio * d, d)
+    ln("norm", d)
+    gemm("head", d, spec.num_classes)
+    return sd
+
+
+def _torch_vit_forward(spec, sd, x_nchw):
+    """Minimal timm-semantics ViT inference in torch."""
+    import torch.nn.functional as F
+
+    d, nh = spec.dim, spec.heads
+    hd = d // nh
+
+    def ln(name, y):
+        return F.layer_norm(y, (d,), sd[f"{name}.weight"],
+                            sd[f"{name}.bias"], eps=1e-6)
+
+    def gemm(name, y):
+        return y @ sd[f"{name}.weight"].t() + sd[f"{name}.bias"]
+
+    with torch.no_grad():
+        y = F.conv2d(x_nchw, sd["patch_embed.proj.weight"],
+                     sd["patch_embed.proj.bias"], stride=spec.patch)
+        b = y.shape[0]
+        y = y.flatten(2).transpose(1, 2)  # (B, N, D)
+        cls = sd["cls_token"].expand(b, -1, -1)
+        y = torch.cat([cls, y], dim=1) + sd["pos_embed"]
+        for i in range(spec.depth):
+            blk = f"blocks.{i}"
+            z = ln(f"{blk}.norm1", y)
+            qkv = gemm(f"{blk}.attn.qkv", z)
+            qkv = qkv.reshape(b, -1, 3, nh, hd).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]  # (B, nh, N, hd)
+            att = (q @ k.transpose(-2, -1)) / np.sqrt(hd)
+            att = att.softmax(dim=-1)
+            z = (att @ v).transpose(1, 2).reshape(b, -1, d)
+            y = y + gemm(f"{blk}.attn.proj", z)
+            z = ln(f"{blk}.norm2", y)
+            z = F.gelu(gemm(f"{blk}.mlp.fc1", z))
+            y = y + gemm(f"{blk}.mlp.fc2", z)
+        y = ln("norm", y)
+        return gemm("head", y[:, 0]).numpy()
+
+
+def test_vit_timm_state_dict_parity():
+    from qcnn_tpu.models import vit
+    from qcnn_tpu.models.torch_import import vit_from_torch_state_dict
+
+    spec = vit.VITS["vit_s16"]()
+    rng = np.random.default_rng(7)
+    sd = _mk_vit_state_dict(spec, rng)
+    x = rng.standard_normal((2, spec.image_size, spec.image_size, 3)
+                            ).astype(np.float32)
+    want = _torch_vit_forward(spec, sd, torch.tensor(
+        np.transpose(x, (0, 3, 1, 2)), dtype=torch.float32))
+    params = vit_from_torch_state_dict(spec, sd)
+    got = np.asarray(vit.forward(params, x, spec=spec))
+    assert np.all(np.isfinite(want)) and np.abs(want).max() > 1e-3
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
 def test_make_family_from_torch_cli(tmp_path):
     """End-to-end: torch .pt -> make-family --from-torch -> loadable
     family checkpoint."""
@@ -148,6 +240,30 @@ def test_make_family_from_torch_cli(tmp_path):
     want = _torch_forward(spec, sd, torch.tensor(
         np.transpose(x, (0, 3, 1, 2)), dtype=torch.float32))
     np.testing.assert_allclose(out_logits, want, rtol=1e-3, atol=1e-3)
+
+
+def test_make_family_from_torch_vit_cli(tmp_path):
+    from qcnn_tpu.cli import main
+    from qcnn_tpu.formats.checkpoint import load_family_checkpoint
+    from qcnn_tpu.models import vit
+
+    spec = vit.VITS["vit_s16"]()
+    sd = _mk_vit_state_dict(spec, np.random.default_rng(8))
+    pt = str(tmp_path / "vit.pth")
+    torch.save(sd, pt)
+    out = str(tmp_path / "vitckpt")
+    assert main([
+        "make-family", "vit_s16", out, "--from-torch", pt, "--dense",
+        "--cpu",
+    ]) == 0
+    family, spec2, params = load_family_checkpoint(out)
+    assert family == "vit"
+    x = np.random.default_rng(9).standard_normal(
+        (1, spec.image_size, spec.image_size, 3)).astype(np.float32)
+    got = np.asarray(vit.forward(params, x, spec=spec2))
+    want = _torch_vit_forward(spec, sd, torch.tensor(
+        np.transpose(x, (0, 3, 1, 2)), dtype=torch.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
 
 
 def test_load_torch_resnet_file(tmp_path):
