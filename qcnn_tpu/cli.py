@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import json
 import os
 import sys
 
@@ -31,10 +32,19 @@ def _impl_kwargs(args) -> dict:
 
 
 def cmd_classify(args) -> int:
-    from qcnn_tpu.eval.harness import Classifier
+    from qcnn_tpu.eval.harness import Classifier, FamilyClassifier
 
     if args.checkpoint:
-        clf = Classifier.from_checkpoint(args.checkpoint, **_impl_kwargs(args))
+        with open(os.path.join(args.checkpoint, "manifest.json")) as f:
+            manifest = json.load(f)
+        if "family" in manifest:
+            clf = FamilyClassifier.from_checkpoint(
+                args.checkpoint, memory=bool(args.memory_mode)
+            )
+        else:
+            clf = Classifier.from_checkpoint(
+                args.checkpoint, **_impl_kwargs(args)
+            )
     else:
         clf = Classifier.from_reference(
             args.model,
@@ -412,6 +422,22 @@ def cmd_make_family(args) -> int:
         dense = fam.init_dense_params(spec, seed=args.seed)
     params = dense if args.dense else fam.quantize_params(spec, dense)
     save_family_checkpoint(args.out, family, spec, params, store=args.store)
+    # Embed the torch-ecosystem eval transform so the checkpoint is a
+    # self-contained classify/serve artifact (like the linear import path;
+    # the reference wires preproc in code, CaffeEvaWrapper.cc:54-85).
+    from qcnn_tpu.formats.checkpoint import save_preprocessor
+    from qcnn_tpu.preproc import TorchPreprocessor
+
+    crop = spec.in_size if family == "resnet" else spec.image_size
+    save_preprocessor(
+        args.out, TorchPreprocessor.imagenet(crop=crop,
+                                             resize=max(256, crop))
+    )
+    if args.class_names:
+        import shutil
+
+        shutil.copyfile(args.class_names,
+                        os.path.join(args.out, "class_names.txt"))
     log(f"wrote {'dense' if args.dense else 'PQ'} {args.model} "
         f"checkpoint {args.out}")
     return 0
@@ -469,6 +495,17 @@ def cmd_serve(args) -> int:
                 fwd, prepared, (size, size, 3), config=config,
                 upload_dtype=ml_dtypes.bfloat16,
             ).start()
+            # family checkpoints embed the torch-style eval transform, so
+            # BMP uploads work like the linear models (raw X-Shape tensors
+            # remain accepted)
+            from qcnn_tpu.formats.checkpoint import load_preprocessor
+
+            preprocessor = load_preprocessor(args.checkpoint)
+            names_path = os.path.join(args.checkpoint, "class_names.txt")
+            if os.path.exists(names_path):
+                from qcnn_tpu.models.loader import load_class_names
+
+                class_names = load_class_names(names_path)
         else:
             from qcnn_tpu.formats.checkpoint import (
                 load_checkpoint, load_preprocessor,
@@ -744,6 +781,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="run the quantizer on the host CPU")
     mf.add_argument("--store", default="npz", choices=["npz", "orbax"],
                     help="parameter array store backend")
+    mf.add_argument("--class-names", default=None, metavar="PATH",
+                    help="embed a class-names file (one name per line) "
+                         "into the checkpoint")
     mf.set_defaults(fn=cmd_make_family)
 
     s = sub.add_parser("serve", help="continuous-batching HTTP daemon")

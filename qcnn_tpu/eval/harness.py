@@ -48,7 +48,67 @@ _MODEL_WIRING = {
 }
 
 
-class Classifier:
+class _ClassifierBase:
+    """Shared classify surface: preprocess → jitted forward → top-k decode.
+    Subclasses set spec/params/pre/class_names/image_labels/timers/_fwd."""
+
+    def _result(self, probs, bmp_path, top_k, elapsed) -> ClassifyResult:
+        idx = np.argsort(-probs)[:top_k]
+        names = [
+            self.class_names[i] if i < len(self.class_names) else str(i)
+            for i in idx
+        ]
+        stem = os.path.splitext(os.path.basename(bmp_path))[0]
+        gt_id = self.image_labels.get(stem)
+        gt = None
+        if gt_id is not None:
+            gt = (
+                self.class_names[gt_id]
+                if gt_id < len(self.class_names)
+                else str(gt_id)
+            )
+        return ClassifyResult(
+            class_ids=[int(i) for i in idx],
+            probs=[float(probs[i]) for i in idx],
+            class_names=names,
+            ground_truth=gt,
+            time_total_s=elapsed,
+        )
+
+    def classify(self, bmp_path: str, top_k: int = 5) -> ClassifyResult:
+        import time
+
+        t0 = time.perf_counter()
+        with self.timers.time("preproc"):
+            x = jnp.asarray(self.pre.load(bmp_path))
+        with self.timers.time("forward"):
+            probs = np.asarray(self._fwd(self.params, x))[0]
+        return self._result(
+            probs, bmp_path, top_k, time.perf_counter() - t0
+        )
+
+    def classify_batch(
+        self, bmp_paths: Sequence[str], top_k: int = 5
+    ) -> list[ClassifyResult]:
+        """One preprocessing pass (threaded native pipeline) + one batched
+        forward for all images (the reference loops batch-1,
+        CaffeEva.cc:23,167)."""
+        import time
+
+        t0 = time.perf_counter()
+        with self.timers.time("preproc"):
+            x = jnp.asarray(self.pre.load_batch(bmp_paths))
+        with self.timers.time("forward"):
+            probs = np.asarray(self._fwd(self.params, x))
+        elapsed = time.perf_counter() - t0
+        per = elapsed / max(len(bmp_paths), 1)
+        return [
+            self._result(probs[i], p, top_k, per)
+            for i, p in enumerate(bmp_paths)
+        ]
+
+
+class Classifier(_ClassifierBase):
     """End-to-end classifier: preprocess → jitted forward → top-k decode."""
 
     def __init__(
@@ -155,60 +215,68 @@ class Classifier:
         kwargs.setdefault("act_scales", load_act_scales(path))
         return cls(spec, params, pre, names, **kwargs)
 
-    def _result(self, probs, bmp_path, top_k, elapsed) -> ClassifyResult:
-        idx = np.argsort(-probs)[:top_k]
-        names = [
-            self.class_names[i] if i < len(self.class_names) else str(i)
-            for i in idx
-        ]
-        stem = os.path.splitext(os.path.basename(bmp_path))[0]
-        gt_id = self.image_labels.get(stem)
-        gt = None
-        if gt_id is not None:
-            gt = (
-                self.class_names[gt_id]
-                if gt_id < len(self.class_names)
-                else str(gt_id)
+
+class FamilyClassifier(_ClassifierBase):
+    """Classify surface for the nested-pytree model families
+    (models/resnet.py, models/vit.py) — the family analogue of Classifier,
+    fed by torch-ecosystem checkpoints (`make-family --from-torch`) whose
+    embedded preprocessing is the torch-style TorchPreprocessor."""
+
+    def __init__(
+        self,
+        family: str,
+        spec,
+        params: dict,
+        preprocessor,
+        class_names: Optional[list[str]] = None,
+        image_labels: Optional[dict[str, int]] = None,
+        *,
+        memory: bool = False,
+        compute_dtype=None,
+    ) -> None:
+        import functools
+
+        self.family = family
+        self.spec = spec
+        self.pre = preprocessor
+        self.class_names = class_names or []
+        self.image_labels = image_labels or {}
+        self.timers = TimerSet()
+        if compute_dtype is None:
+            compute_dtype = (
+                jnp.bfloat16 if jax.default_backend() == "tpu"
+                else jnp.float32
             )
-        return ClassifyResult(
-            class_ids=[int(i) for i in idx],
-            probs=[float(probs[i]) for i in idx],
-            class_names=names,
-            ground_truth=gt,
-            time_total_s=elapsed,
+        fam = __import__(f"qcnn_tpu.models.{family}", fromlist=[family])
+        self.params = jax.device_put(
+            fam.prepare_params(spec, params, dtype=compute_dtype,
+                               memory=memory)
+        )
+        self._fwd = jax.jit(functools.partial(
+            fam.forward, spec=spec, compute_dtype=compute_dtype,
+            with_softmax=True,
+        ))
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kwargs) -> "FamilyClassifier":
+        from qcnn_tpu.formats.checkpoint import (
+            load_family_checkpoint, load_preprocessor,
         )
 
-    def classify(self, bmp_path: str, top_k: int = 5) -> ClassifyResult:
-        import time
-
-        t0 = time.perf_counter()
-        with self.timers.time("preproc"):
-            x = jnp.asarray(self.pre.load(bmp_path))
-        with self.timers.time("forward"):
-            probs = np.asarray(self._fwd(self.params, x))[0]
-        return self._result(
-            probs, bmp_path, top_k, time.perf_counter() - t0
+        family, spec, params = load_family_checkpoint(path)
+        pre = load_preprocessor(path)
+        if pre is None:
+            raise ValueError(
+                f"{path} carries no preprocessing config; re-create it "
+                "with make-family (embeds the torch-style transform) or "
+                "construct FamilyClassifier directly"
+            )
+        names_path = os.path.join(path, "class_names.txt")
+        names = (
+            load_class_names(names_path) if os.path.exists(names_path)
+            else None
         )
-
-    def classify_batch(
-        self, bmp_paths: Sequence[str], top_k: int = 5
-    ) -> list[ClassifyResult]:
-        """One preprocessing pass (threaded native pipeline) + one batched
-        forward for all images (the reference loops batch-1,
-        CaffeEva.cc:23,167)."""
-        import time
-
-        t0 = time.perf_counter()
-        with self.timers.time("preproc"):
-            x = jnp.asarray(self.pre.load_batch(bmp_paths))
-        with self.timers.time("forward"):
-            probs = np.asarray(self._fwd(self.params, x))
-        elapsed = time.perf_counter() - t0
-        per = elapsed / max(len(bmp_paths), 1)
-        return [
-            self._result(probs[i], p, top_k, per)
-            for i, p in enumerate(bmp_paths)
-        ]
+        return cls(family, spec, params, pre, names, **kwargs)
 
 
 def accuracy_at_k(

@@ -235,10 +235,22 @@ def load_family_checkpoint(path: str):
 
 
 def save_preprocessor(path: str, pre) -> None:
-    """Embed the preprocessing config (incl. the mean image) so a checkpoint
-    is a self-contained serving artifact — the reference instead wires
-    preprocessing per model in code (CaffeEvaWrapper.cc:54-85) and loads the
-    mean from a side file."""
+    """Embed the preprocessing config so a checkpoint is a self-contained
+    serving artifact — the reference instead wires preprocessing per model
+    in code (CaffeEvaWrapper.cc:54-85) and loads the mean from a side file.
+    Accepts either pipeline kind: Preprocessor (Caffe semantics, mean
+    image) or TorchPreprocessor (torch-ecosystem mean/std)."""
+    from qcnn_tpu.preproc.pipeline import TorchPreprocessor
+
+    if isinstance(pre, TorchPreprocessor):
+        with open(os.path.join(path, "preproc.json"), "w") as f:
+            json.dump({
+                "kind": "torch",
+                "resize": pre.resize, "crop": pre.crop,
+                "mean": [float(v) for v in pre.mean],
+                "std": [float(v) for v in pre.std],
+            }, f)
+        return
     np.save(os.path.join(path, "mean_image.npy"), pre.mean_image)
     with open(os.path.join(path, "preproc.json"), "w") as f:
         json.dump({
@@ -250,14 +262,23 @@ def save_preprocessor(path: str, pre) -> None:
 
 
 def load_preprocessor(path: str):
-    """-> Preprocessor or None when the checkpoint carries no preproc."""
+    """-> Preprocessor | TorchPreprocessor, or None when the checkpoint
+    carries no preproc (kind-dispatched on preproc.json)."""
     cfg_path = os.path.join(path, "preproc.json")
     if not os.path.exists(cfg_path):
         return None
-    from qcnn_tpu.preproc.pipeline import MeanType, Preprocessor, ReszType
-
     with open(cfg_path) as f:
         cfg = json.load(f)
+    if cfg.get("kind") == "torch":
+        from qcnn_tpu.preproc.pipeline import TorchPreprocessor
+
+        return TorchPreprocessor(
+            resize=cfg["resize"], crop=cfg["crop"],
+            mean=np.asarray(cfg["mean"], np.float32),
+            std=np.asarray(cfg["std"], np.float32),
+        )
+    from qcnn_tpu.preproc.pipeline import MeanType, Preprocessor, ReszType
+
     mean = np.load(os.path.join(path, "mean_image.npy"))
     return Preprocessor(
         full_h=cfg["full_h"], full_w=cfg["full_w"],

@@ -1,0 +1,152 @@
+"""Family-checkpoint classify surface: TorchPreprocessor (torch-ecosystem
+eval transform) + FamilyClassifier + CLI dispatch.
+
+The reference wires Caffe-style preprocessing per model in code
+(CaffeEvaWrapper.cc:54-85); family checkpoints instead embed the
+torchvision/timm eval transform so `classify`/`serve --checkpoint` work on
+imported pretrained weights end to end."""
+
+import struct
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def _write_bmp(path: str, rgb_uint8: np.ndarray) -> None:
+    """Encode (H, W, 3) uint8 RGB as a 24-bit BI_RGB bottom-up BMP."""
+    h, w, _ = rgb_uint8.shape
+    row_bytes = (3 * w + 3) & ~3
+    img_size = row_bytes * h
+    header = bytearray(54)
+    header[0:2] = b"BM"
+    struct.pack_into("<I", header, 2, 54 + img_size)
+    struct.pack_into("<I", header, 10, 54)
+    struct.pack_into("<I", header, 14, 40)
+    struct.pack_into("<i", header, 18, w)
+    struct.pack_into("<i", header, 22, h)
+    struct.pack_into("<H", header, 26, 1)
+    struct.pack_into("<H", header, 28, 24)
+    rows = bytearray()
+    bgr = rgb_uint8[..., ::-1]
+    pad = b"\0" * (row_bytes - 3 * w)
+    for r in range(h - 1, -1, -1):
+        rows += bgr[r].tobytes() + pad
+    with open(path, "wb") as f:
+        f.write(bytes(header) + bytes(rows))
+
+
+def test_halfpixel_resize_matches_torch():
+    from qcnn_tpu.preproc import resize_bilinear_halfpixel
+
+    rng = np.random.default_rng(0)
+    for (h, w), (oh, ow) in [((37, 53), (24, 24)), ((64, 48), (96, 128)),
+                             ((256, 384), (224, 224))]:
+        img = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+        got = resize_bilinear_halfpixel(img, oh, ow)
+        want = torch.nn.functional.interpolate(
+            torch.tensor(np.transpose(img, (2, 0, 1))[None]),
+            size=(oh, ow), mode="bilinear", align_corners=False,
+            antialias=False,
+        )[0].permute(1, 2, 0).numpy()
+        # float32 vs torch's float64 tap accumulation on [0, 255] values
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
+
+
+def test_torch_preprocessor_oracle():
+    """Full transform vs a manual torch composition: shorter-side resize,
+    center crop, /255, mean/std normalize, RGB order."""
+    from qcnn_tpu.preproc import TorchPreprocessor
+
+    pre = TorchPreprocessor.imagenet(crop=224, resize=256)
+    rng = np.random.default_rng(1)
+    for h, w in [(300, 420), (420, 300), (256, 256)]:
+        bgr = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+        got = pre(bgr)
+        assert got.shape == (224, 224, 3)
+        rgb = np.ascontiguousarray(bgr[..., ::-1])
+        t = torch.tensor(np.transpose(rgb, (2, 0, 1))[None])
+        if h <= w:
+            size = (256, round(w * 256 / h))
+        else:
+            size = (round(h * 256 / w), 256)
+        t = torch.nn.functional.interpolate(
+            t, size=size, mode="bilinear", align_corners=False)
+        top = (size[0] - 224) // 2
+        left = (size[1] - 224) // 2
+        t = t[:, :, top:top + 224, left:left + 224] / 255.0
+        mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+        std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+        want = ((t - mean) / std)[0].permute(1, 2, 0).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_preprocessor_checkpoint_round_trip(tmp_path):
+    from qcnn_tpu.formats.checkpoint import (
+        load_preprocessor, save_preprocessor,
+    )
+    from qcnn_tpu.preproc import TorchPreprocessor
+
+    pre = TorchPreprocessor.imagenet(crop=224, resize=256)
+    save_preprocessor(str(tmp_path), pre)
+    back = load_preprocessor(str(tmp_path))
+    assert isinstance(back, TorchPreprocessor)
+    assert (back.resize, back.crop) == (256, 224)
+    np.testing.assert_array_equal(back.mean, pre.mean)
+    np.testing.assert_array_equal(back.std, pre.std)
+
+
+@pytest.fixture(scope="module")
+def family_ckpt(tmp_path_factory):
+    """Dense synthetic resnet18 checkpoint via the real CLI (embeds the
+    torch-style preproc)."""
+    from qcnn_tpu.cli import main
+
+    out = str(tmp_path_factory.mktemp("fam") / "r18")
+    assert main(["make-family", "resnet18", out, "--dense", "--cpu"]) == 0
+    return out
+
+
+def test_family_classifier_matches_direct_forward(family_ckpt, tmp_path):
+    import jax.numpy as jnp
+
+    from qcnn_tpu.eval.harness import FamilyClassifier
+    from qcnn_tpu.formats.checkpoint import (
+        load_family_checkpoint, load_preprocessor,
+    )
+    from qcnn_tpu.models import resnet
+
+    rng = np.random.default_rng(2)
+    bmp = str(tmp_path / "img.bmp")
+    _write_bmp(bmp, rng.integers(0, 256, (240, 320, 3), dtype=np.uint8))
+
+    clf = FamilyClassifier.from_checkpoint(family_ckpt,
+                                           compute_dtype=jnp.float32)
+    res = clf.classify(bmp, top_k=5)
+    assert len(res.class_ids) == 5
+    assert all(0 <= p <= 1 for p in res.probs)
+
+    _, spec, params = load_family_checkpoint(family_ckpt)
+    pre = load_preprocessor(family_ckpt)
+    x = pre.load(bmp)
+    prepared = resnet.prepare_params(spec, params, dtype=jnp.float32)
+    want = np.asarray(resnet.forward(
+        prepared, jnp.asarray(x), spec=spec, compute_dtype=jnp.float32,
+        with_softmax=True))[0]
+    top5 = np.argsort(-want)[:5]
+    np.testing.assert_array_equal(res.class_ids, top5)
+    np.testing.assert_allclose(res.probs, want[top5], rtol=1e-5, atol=1e-6)
+
+
+def test_classify_cli_family_checkpoint(family_ckpt, tmp_path, capsys):
+    from qcnn_tpu.cli import main
+
+    rng = np.random.default_rng(3)
+    bmp = str(tmp_path / "img.bmp")
+    _write_bmp(bmp, rng.integers(0, 256, (260, 260, 3), dtype=np.uint8))
+    assert main(["classify", "--checkpoint", family_ckpt, bmp,
+                 "--top-k", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "img.bmp:" in out
+    assert len([ln for ln in out.splitlines() if ln.startswith("  ")]) >= 3
