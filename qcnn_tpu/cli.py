@@ -314,18 +314,28 @@ def cmd_quantize(args) -> int:
     from qcnn_tpu.formats.checkpoint import load_checkpoint, save_checkpoint
     from qcnn_tpu.quantizer.pq import quantize_conv_layer, quantize_fc_layer
 
-    if str(args.checkpoint).endswith(".caffemodel"):
-        # real-world FP32 ingestion: the reference lineage's original format
-        # (BASELINE config 3: "quantize from FP32 checkpoint")
+    src = str(args.checkpoint)
+    embed_torch_preproc = False
+    if src.endswith((".caffemodel", ".pt", ".pth")):
+        # real-world FP32 ingestion (BASELINE config 3: "quantize from FP32
+        # checkpoint"): Caffe protobuf (the reference lineage's format) or
+        # a torchvision-style state_dict (features./classifier. naming)
         if not args.arch:
-            log("error: --arch is required for .caffemodel input "
-                "(the protobuf carries weights, not topology)")
+            log("error: --arch is required for weight-file input "
+                "(the file carries weights, not topology)")
             return 2
-        from qcnn_tpu.formats.caffe_pb import import_caffemodel
         from qcnn_tpu.models import zoo
 
         spec = zoo.get_model(args.arch)
-        params = import_caffemodel(args.checkpoint, spec)
+        if src.endswith(".caffemodel"):
+            from qcnn_tpu.formats.caffe_pb import import_caffemodel
+
+            params = import_caffemodel(args.checkpoint, spec)
+        else:
+            from qcnn_tpu.models.torch_import import load_torch_linear
+
+            params = load_torch_linear(spec, args.checkpoint)
+            embed_torch_preproc = True
         log(f"imported {args.checkpoint} into {spec.name} "
             f"({sum(p is not None for p in params)} learnable layers)")
     else:
@@ -374,6 +384,15 @@ def cmd_quantize(args) -> int:
         out_params.append(q)
         log(f"layer {i} ({type(layer).__name__}): quantized")
     save_checkpoint(args.out, spec, out_params, store=args.store)
+    if embed_torch_preproc:
+        # torch-trained weights expect the torch eval transform (RGB,
+        # mean/std) — embed it so classify/serve use correct semantics
+        from qcnn_tpu.formats.checkpoint import save_preprocessor
+        from qcnn_tpu.preproc import TorchPreprocessor
+
+        save_preprocessor(
+            args.out, TorchPreprocessor.imagenet(crop=spec.in_height)
+        )
     log(f"wrote PQ checkpoint {args.out}")
     return 0
 
@@ -745,12 +764,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     q = sub.add_parser("quantize", help="FP32 checkpoint -> PQ checkpoint")
     q.add_argument("checkpoint",
-                   help="native checkpoint, or a Caffe .caffemodel "
-                        "(requires --arch)")
+                   help="native checkpoint, a Caffe .caffemodel, or a "
+                        "torchvision-style .pt/.pth state_dict "
+                        "(weight files require --arch)")
     q.add_argument("out")
     q.add_argument("--arch", default=None,
-                   help="zoo architecture name for .caffemodel input "
-                        "(e.g. vgg16, alexnet)")
+                   help="zoo architecture name for weight-file input "
+                        "(e.g. vgg16 for both a .caffemodel and a "
+                        "torchvision vgg16 .pth)")
     q.add_argument("--conv-subvec-len", type=int, default=8)
     q.add_argument("--conv-codewords", type=int, default=128)
     q.add_argument("--fc-subvec-len", type=int, default=4)

@@ -1,12 +1,13 @@
-"""torch-ecosystem checkpoint ingestion for the model families.
+"""torch-ecosystem checkpoint ingestion (model families + linear zoo).
 
 The reference lineage's real-world weight format is Caffe protobuf
-(formats/caffe_pb.py covers the linear zoo models); for the families the
-ecosystem standards are the torchvision ResNet state_dict (`resnet18`/
-`resnet50` naming: conv1/bn1, layer{1..4}.{b}.conv{i}/bn{i}/downsample,
-fc) and the timm ViT state_dict (patch_embed.proj, blocks.{i}.attn.qkv,
-...). This module maps either onto the corresponding dense parameter
-pytree. For ResNet:
+(formats/caffe_pb.py covers the linear zoo models); the ecosystem
+standards are the torchvision ResNet state_dict (`resnet18`/`resnet50`
+naming: conv1/bn1, layer{1..4}.{b}.conv{i}/bn{i}/downsample, fc), the
+timm ViT state_dict (patch_embed.proj, blocks.{i}.attn.qkv, ...), and
+the torchvision sequential-CNN state_dict (features./classifier. naming
+— vgg16 matches the zoo's linear VGG-16 spec). This module maps each
+onto the corresponding dense parameter form. For ResNet:
 
 - conv weights transpose OIHW -> HWIO;
 - every BatchNorm folds into its preceding conv (fold_batchnorm — valid at
@@ -129,6 +130,65 @@ def vit_from_torch_state_dict(spec, state_dict: Mapping) -> dict:
     return params
 
 
+def linear_from_torch_state_dict(spec, state_dict: Mapping) -> list:
+    """Map a torchvision-style sequential CNN state_dict (conv stack under
+    `features.N`, FC head under `classifier.N` — the vgg11..19 naming) onto
+    a linear zoo ModelSpec, returning the spec-aligned dense params list
+    the quantizer consumes (formats/caffe_pb.py:244 conventions).
+
+    torchvision vgg16 is architecture-identical to the zoo's vgg16
+    (zoo.py:125, transcribing CaffePara.cc); torch's NCHW first-FC flatten
+    matches the Caffe flatten semantics our network implements
+    (CaffeEva.cc:184-204), so classifier.0 maps with a plain transpose.
+    Mapping is by learnable-layer order, so any sequential features/
+    classifier model whose topology matches the spec imports too."""
+    from qcnn_tpu.core import (
+        ConvSpec, FCSpec, dense_conv_params, dense_fc_params,
+    )
+
+    def indexed(prefix: str) -> list:
+        idxs = sorted({
+            int(k.split(".")[1]) for k in state_dict
+            if k.startswith(prefix + ".") and k.endswith(".weight")
+        })
+        return [(f"{prefix}.{i}.weight", f"{prefix}.{i}.bias")
+                for i in idxs]
+
+    pairs = indexed("features") + indexed("classifier")
+    spec_learnable = [
+        (i, l) for i, l in enumerate(spec.layers)
+        if isinstance(l, (ConvSpec, FCSpec))
+    ]
+    if len(pairs) != len(spec_learnable):
+        raise ValueError(
+            f"{len(pairs)} learnable torch layers vs "
+            f"{len(spec_learnable)} in spec {spec.name}"
+        )
+    params: list = [None] * len(spec.layers)
+    for (idx, lspec), (wk, bk) in zip(spec_learnable, pairs):
+        w = _np(state_dict[wk])
+        bias = (_np(state_dict[bk]) if bk in state_dict
+                else np.zeros(w.shape[0], np.float32))
+        if isinstance(lspec, ConvSpec):
+            if w.ndim != 4 or w.shape[0] != lspec.out_channels \
+                    or w.shape[2] != lspec.kernel:
+                raise ValueError(
+                    f"{wk}: blob {w.shape} does not match spec "
+                    f"(out={lspec.out_channels}, k={lspec.kernel})"
+                )
+            params[idx] = dense_conv_params(
+                np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0))), bias
+            )
+        else:
+            if w.shape[0] != lspec.out_features:
+                raise ValueError(
+                    f"{wk}: FC blob {w.shape} does not match "
+                    f"out_features={lspec.out_features}"
+                )
+            params[idx] = dense_fc_params(np.ascontiguousarray(w.T), bias)
+    return params
+
+
 def _load_state_dict(path: str):
     """Load a .pt/.pth file: a bare state_dict, or a dict carrying one
     under 'state_dict'/'model'."""
@@ -151,3 +211,7 @@ def load_torch_resnet(spec: ResNetSpec, path: str) -> dict:
 
 def load_torch_vit(spec, path: str) -> dict:
     return vit_from_torch_state_dict(spec, _load_state_dict(path))
+
+
+def load_torch_linear(spec, path: str) -> list:
+    return linear_from_torch_state_dict(spec, _load_state_dict(path))

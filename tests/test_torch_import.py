@@ -280,3 +280,148 @@ def test_load_torch_resnet_file(tmp_path):
     np.testing.assert_array_equal(
         params["stem"]["kernel"], direct["stem"]["kernel"]
     )
+
+
+# ---------------------------------------------------------------------------
+# linear zoo: torchvision sequential-CNN (features./classifier.) ingestion
+# ---------------------------------------------------------------------------
+
+def _mini_vgg_spec():
+    """Tiny VGG-shaped linear spec for torch-oracle parity (the mapping is
+    order-driven, so this exercises exactly the vgg16 code path)."""
+    from qcnn_tpu.core import (
+        ConvSpec, DropoutSpec, FCSpec, ModelSpec, PoolSpec, ReLUSpec,
+        SoftmaxSpec,
+    )
+
+    return ModelSpec(
+        name="MiniVGG", in_height=16, in_width=16, in_channels=3,
+        layers=(
+            ConvSpec(kernel=3, out_channels=8, pad=1), ReLUSpec(),
+            PoolSpec(kernel=2, stride=2),
+            ConvSpec(kernel=3, out_channels=16, pad=1), ReLUSpec(),
+            PoolSpec(kernel=2, stride=2),
+            FCSpec(32), ReLUSpec(), DropoutSpec(0.5),
+            FCSpec(10), SoftmaxSpec(),
+        ),
+    )
+
+
+def _mk_linear_state_dict(rng):
+    """torchvision vgg-style naming for _mini_vgg_spec (gaps in the indices
+    where ReLU/pool/dropout modules would sit, like the real vgg16)."""
+    sd = {}
+
+    def conv(i, cin, cout):
+        sd[f"features.{i}.weight"] = torch.tensor(
+            rng.standard_normal((cout, cin, 3, 3)) / np.sqrt(cin * 9),
+            dtype=torch.float32)
+        sd[f"features.{i}.bias"] = torch.tensor(
+            0.02 * rng.standard_normal(cout), dtype=torch.float32)
+
+    def fc(i, cin, cout):
+        sd[f"classifier.{i}.weight"] = torch.tensor(
+            rng.standard_normal((cout, cin)) / np.sqrt(cin),
+            dtype=torch.float32)
+        sd[f"classifier.{i}.bias"] = torch.tensor(
+            0.02 * rng.standard_normal(cout), dtype=torch.float32)
+
+    conv(0, 3, 8)
+    conv(3, 8, 16)
+    fc(0, 16 * 4 * 4, 32)
+    fc(3, 32, 10)
+    return sd
+
+
+def test_linear_torch_state_dict_parity():
+    """Imported mini-VGG forward matches a torch-computed oracle —
+    validates conv OIHW->HWIO and the NCHW first-FC flatten mapping
+    (torch flattens (C,H,W) like Caffe, CaffeEva.cc:184-204)."""
+    import torch.nn.functional as F
+
+    from qcnn_tpu.models.network import forward
+    from qcnn_tpu.models.torch_import import linear_from_torch_state_dict
+
+    spec = _mini_vgg_spec()
+    rng = np.random.default_rng(11)
+    sd = _mk_linear_state_dict(rng)
+    params = linear_from_torch_state_dict(spec, sd)
+
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    got = np.asarray(forward(params, x, spec=spec))
+
+    with torch.no_grad():
+        t = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+        t = F.max_pool2d(F.relu(F.conv2d(
+            t, sd["features.0.weight"], sd["features.0.bias"],
+            padding=1)), 2)
+        t = F.max_pool2d(F.relu(F.conv2d(
+            t, sd["features.3.weight"], sd["features.3.bias"],
+            padding=1)), 2)
+        t = t.flatten(1)  # NCHW flatten, matching Caffe semantics
+        t = F.relu(t @ sd["classifier.0.weight"].t()
+                   + sd["classifier.0.bias"])
+        t = t @ sd["classifier.3.weight"].t() + sd["classifier.3.bias"]
+        want = F.softmax(t, dim=-1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_vgg16_torch_shape_mapping():
+    """Full torchvision vgg16 key layout (indices 0..28 / 0,3,6) maps onto
+    the zoo vgg16 spec with correct per-layer shapes."""
+    from qcnn_tpu.core import ConvSpec, FCSpec
+    from qcnn_tpu.models import zoo
+    from qcnn_tpu.models.torch_import import linear_from_torch_state_dict
+
+    spec = zoo.get_model("vgg16")
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    chans = [(3, 64), (64, 64), (64, 128), (128, 128), (128, 256),
+             (256, 256), (256, 256), (256, 512), (512, 512), (512, 512),
+             (512, 512), (512, 512), (512, 512)]
+    sd = {}
+    for i, (cin, cout) in zip(conv_idx, chans):
+        sd[f"features.{i}.weight"] = np.zeros((cout, cin, 3, 3), np.float32)
+        sd[f"features.{i}.bias"] = np.zeros(cout, np.float32)
+    for i, (cin, cout) in zip([0, 3, 6],
+                              [(25088, 4096), (4096, 4096), (4096, 1000)]):
+        sd[f"classifier.{i}.weight"] = np.zeros((cout, cin), np.float32)
+        sd[f"classifier.{i}.bias"] = np.zeros(cout, np.float32)
+    params = linear_from_torch_state_dict(spec, sd)
+    learnable = [
+        (l, p) for l, p in zip(spec.layers, params) if p is not None
+    ]
+    assert len(learnable) == 16
+    for l, p in learnable:
+        if isinstance(l, ConvSpec):
+            assert p["kernel"].shape[3] == l.out_channels
+        else:
+            assert isinstance(l, FCSpec)
+            assert p["weight"].shape[1] == l.out_features
+
+
+def test_quantize_cli_from_torch(tmp_path, monkeypatch):
+    """quantize <sd.pth> out --arch <name>: torch state_dict -> PQ
+    checkpoint with the torch eval transform embedded."""
+    from qcnn_tpu.cli import main
+    from qcnn_tpu.formats.checkpoint import load_checkpoint, load_preprocessor
+    from qcnn_tpu.models import zoo
+    from qcnn_tpu.preproc import TorchPreprocessor
+
+    spec = _mini_vgg_spec()
+    monkeypatch.setitem(zoo.MODELS, "minivgg", lambda: spec)
+    sd = _mk_linear_state_dict(np.random.default_rng(12))
+    pt = str(tmp_path / "mini.pth")
+    torch.save(sd, pt)
+    out = str(tmp_path / "pq")
+    assert main([
+        "quantize", pt, out, "--arch", "minivgg", "--cpu",
+        "--conv-subvec-len", "4", "--conv-codewords", "8",
+        "--fc-subvec-len", "4", "--fc-codewords", "8",
+    ]) == 0
+    spec2, params = load_checkpoint(out)
+    assert spec2.name == "MiniVGG"
+    assert any(p is not None and "codebooks" in p for p in params)
+    pre = load_preprocessor(out)
+    assert isinstance(pre, TorchPreprocessor)
+    assert pre.crop == spec.in_height
