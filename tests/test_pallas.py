@@ -5,6 +5,7 @@ itself parity-tested against the decode path and mirrors the reference's
 pointer walk (CaffeEva.cc:1006-1017).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -157,3 +158,39 @@ def test_memory_strategy_resolution(rng):
                                         "memory")
         assert conv_i == ("indecode", "-", "-", "-")
         assert fc_i == ("-", "indecode", "indecode", "-")
+
+
+# ---------------------------------------------------------------------------
+# fused single-pass LRN (ops/pallas/lrn_fused.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape,tile_m", [
+    ((4, 7, 7, 96), 64),     # AlexNet channel count, ragged M
+    ((2, 5, 5, 256), 32),    # norm2 channel count, exact M
+    ((3, 130), 16),          # rank-2, >128 lanes, ragged M
+])
+def test_lrn_fused_bit_identical(rng, shape, tile_m):
+    """The fused kernel must bit-match the shipped XLA band path (same
+    bf16-square + f32-accumulate precision contract)."""
+    from qcnn_tpu.ops.misc import lrn
+    from qcnn_tpu.ops.pallas.lrn_fused import lrn_fused
+
+    kw = dict(size=5, alpha=1e-4, beta=0.75, k=1.0)
+    x = jnp.asarray(rng.standard_normal(shape) * 3, jnp.bfloat16)
+    want = lrn(x, impl="band", **kw)
+    for pad in (True, False):
+        got = lrn_fused(x, tile_m=tile_m, pad_lanes=pad, interpret=True,
+                        **kw)
+        assert jnp.all(got == want), f"pad_lanes={pad}"
+
+
+def test_lrn_fused_other_betas(rng):
+    from qcnn_tpu.ops.misc import lrn
+    from qcnn_tpu.ops.pallas.lrn_fused import lrn_fused
+
+    x = jnp.asarray(rng.standard_normal((2, 3, 3, 96)), jnp.bfloat16)
+    for beta in (0.5, 1.0):
+        kw = dict(size=5, alpha=2e-5, beta=beta, k=2.0)
+        got = lrn_fused(x, tile_m=16, interpret=True, **kw)
+        want = lrn(x, impl="band", **kw)
+        assert jnp.all(got == want)
