@@ -10,3 +10,10 @@ from qcnn_tpu.parallel.sharding import (  # noqa: F401
     param_shardings,
     shard_params,
 )
+from qcnn_tpu.parallel.pipeline import (  # noqa: F401
+    STAGE_AXIS,
+    make_pipeline_mesh,
+    pipeline_vit_forward,
+    place_pipeline_params,
+    stack_vit_blocks,
+)
