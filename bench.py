@@ -165,9 +165,9 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="alexnet",
-                    choices=["alexnet", "resnet50", "resnet18",
-                             "vit_b16", "vit_s16", "vgg16", "vgg_cnn_s",
-                             "caffenet"])
+                    choices=["alexnet", "resnet18", "resnet50", "resnet101",
+                             "resnet152", "vit_s16", "vit_b16", "vit_l16",
+                             "vgg16", "vgg_cnn_s", "caffenet"])
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--conv-impl", default="auto")
     ap.add_argument("--fc-impl", default="auto")

@@ -22,6 +22,12 @@ def log(*a):
 # classify — single/multi image (UT_CaffeEvaWrapper, src/UnitTest.cc:67-124)
 # ---------------------------------------------------------------------------
 
+# Family-model registry names (models/resnet.py RESNETS + models/vit.py
+# VITS), kept as a literal so parser construction stays import-light.
+_FAMILY_MODELS = ("resnet18", "resnet50", "resnet101", "resnet152",
+                  "vit_s16", "vit_b16", "vit_l16")
+
+
 def _impl_kwargs(args) -> dict:
     """--memory-mode -> keep only compressed PQ params resident (in-step
     one-hot decode, KERNEL_STUDIES §9b: ~21x less weight HBM for ~13%
@@ -93,13 +99,25 @@ def cmd_classify(args) -> int:
 def cmd_eval(args) -> int:
     import numpy as np
 
-    from qcnn_tpu.eval.harness import Classifier, accuracy_at_k
+    from qcnn_tpu.eval.harness import (
+        Classifier, FamilyClassifier, accuracy_at_k,
+    )
 
+    is_family = False
     if args.checkpoint:
         from qcnn_tpu.models.loader import load_image_labels
 
-        clf = Classifier.from_checkpoint(args.checkpoint, **_impl_kwargs(args))
-        labels_path = os.path.join(
+        with open(os.path.join(args.checkpoint, "manifest.json")) as f:
+            is_family = "family" in json.load(f)
+        if is_family:
+            clf = FamilyClassifier.from_checkpoint(
+                args.checkpoint, memory=bool(args.memory_mode)
+            )
+        else:
+            clf = Classifier.from_checkpoint(
+                args.checkpoint, **_impl_kwargs(args)
+            )
+        labels_path = args.labels or os.path.join(
             args.reference_dir, "Cls.Names", "image_labels.txt"
         )
         if os.path.exists(labels_path):
@@ -116,13 +134,59 @@ def cmd_eval(args) -> int:
             ),
             **_impl_kwargs(args),
         )
+    if args.images:
+        # BMP-set eval through the checkpoint's own preprocessing — the
+        # dataset-accuracy surface for imported pretrained weights (the
+        # reference blob is pre-preprocessed Caffe tensors, wrong semantics
+        # for torch-trained models)
+        paths = sorted(
+            p for pattern in args.images for p in glob.glob(pattern)
+        )
+        labeled = [
+            p for p in paths
+            if os.path.splitext(os.path.basename(p))[0] in clf.image_labels
+        ]
+        if not labeled:
+            log("error: no images matched --images with a label in the "
+                "labels file")
+            return 1
+        import time as _time
+
+        ks = (1, 2, 3, 4, 5)
+        hits = {k: 0 for k in ks}
+        n = 0
+        t0 = _time.perf_counter()
+        for j in range(0, len(labeled), args.batch):
+            chunk = labeled[j : j + args.batch]
+            x = clf.pre.load_batch(chunk)
+            probs = np.asarray(clf._fwd(clf.params, x))
+            lab = np.asarray([
+                clf.image_labels[os.path.splitext(os.path.basename(p))[0]]
+                for p in chunk
+            ])
+            order = np.argsort(-probs, axis=1)
+            for k in ks:
+                hits[k] += int(
+                    (order[:, :k] == lab[:, None]).any(axis=1).sum()
+                )
+            n += len(chunk)
+        dt = _time.perf_counter() - t0
+        for k in ks:
+            print(f"ACCURACY@{k}: {hits[k] / n:.4f}")
+        print(f"{n} images, {n / dt:.1f} img/s (incl. host preprocessing)")
+        return 0
     data_path = os.path.join(
         args.reference_dir, "ILSVRC12.227x227.IMG", "dataMatTst.single.bin"
     )
     labl_path = os.path.join(
         args.reference_dir, "ILSVRC12.227x227.IMG", "lablVecTst.uint16.bin"
     )
-    if os.path.exists(data_path):
+    if is_family and os.path.exists(data_path):
+        log("note: the reference val blob is Caffe-preprocessed 227x227 "
+            "tensors — wrong semantics for a family checkpoint; use "
+            "--images GLOB --labels FILE instead. Falling back to "
+            "shipped BMPs.")
+    elif os.path.exists(data_path):
         from qcnn_tpu.formats import read_bin
         from qcnn_tpu.formats.reference_codec import read_bin_batches
         from qcnn_tpu.eval.harness import evaluate_dataset
@@ -540,7 +604,7 @@ def cmd_serve(args) -> int:
                 from qcnn_tpu.models.loader import load_class_names
 
                 class_names = load_class_names(names_path)
-    elif args.model in ("resnet50", "resnet18", "vit_b16", "vit_s16"):
+    elif args.model in _FAMILY_MODELS:
         # family models: synthetic PQ weights (no pretrained checkpoints
         # ship offline); serves raw preprocessed tensors via X-Shape
         if args.memory_mode:
@@ -622,7 +686,7 @@ def cmd_profile(args) -> int:
     from qcnn_tpu.models.prepare import prepare_params
     from qcnn_tpu.models.zoo import get_model
 
-    if args.model in ("resnet50", "resnet18", "vit_b16", "vit_s16"):
+    if args.model in _FAMILY_MODELS:
         return _profile_family(args)
     spec = get_model(args.model)
     if args.model == "alexnet" and os.path.isdir(args.reference_dir):
@@ -725,6 +789,14 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--memory-mode", action="store_true",
                    help="keep only compressed PQ params resident "
                         "(in-step decode; ~21x less weight HBM)")
+    e.add_argument("--images", nargs="+", default=None, metavar="GLOB",
+                   help="evaluate over these BMPs through the checkpoint's "
+                        "own preprocessing (instead of the reference's "
+                        "pre-preprocessed val blob)")
+    e.add_argument("--labels", default=None, metavar="PATH",
+                   help="image-labels file ('<stem> <class id>' per line) "
+                        "for --images; defaults to the reference's "
+                        "Cls.Names/image_labels.txt")
     e.set_defaults(fn=cmd_eval)
 
     cal = sub.add_parser(
@@ -788,8 +860,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     mf = sub.add_parser("make-family",
                         help="build a ResNet/ViT PQ checkpoint")
-    mf.add_argument("model", choices=["resnet50", "resnet18",
-                                      "vit_b16", "vit_s16"])
+    mf.add_argument("model", choices=list(_FAMILY_MODELS))
     mf.add_argument("out")
     mf.add_argument("--seed", type=int, default=0)
     mf.add_argument("--from-torch", default=None, metavar="PATH",

@@ -46,7 +46,16 @@ def resnet18() -> ResNetSpec:
     )
 
 
-RESNETS = {"resnet50": resnet50, "resnet18": resnet18}
+def resnet101() -> ResNetSpec:
+    return ResNetSpec("ResNet101", (3, 4, 23, 3), (256, 512, 1024, 2048))
+
+
+def resnet152() -> ResNetSpec:
+    return ResNetSpec("ResNet152", (3, 8, 36, 3), (256, 512, 1024, 2048))
+
+
+RESNETS = {"resnet50": resnet50, "resnet18": resnet18,
+           "resnet101": resnet101, "resnet152": resnet152}
 
 
 # ---------------------------------------------------------------------------

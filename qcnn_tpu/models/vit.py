@@ -58,13 +58,17 @@ def vit_s16() -> ViTSpec:
     return ViTSpec("ViT-S/16", dim=384, depth=12, heads=6)
 
 
+def vit_l16() -> ViTSpec:
+    return ViTSpec("ViT-L/16", dim=1024, depth=24, heads=16)
+
+
 def vit_tiny_test() -> ViTSpec:
     """Miniature config for CPU tests."""
     return ViTSpec("ViT-test", patch=8, image_size=32, dim=64, depth=2,
                    heads=4, num_classes=10)
 
 
-VITS = {"vit_b16": vit_b16, "vit_s16": vit_s16}
+VITS = {"vit_b16": vit_b16, "vit_s16": vit_s16, "vit_l16": vit_l16}
 
 
 # ---------------------------------------------------------------------------

@@ -150,3 +150,25 @@ def test_classify_cli_family_checkpoint(family_ckpt, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "img.bmp:" in out
     assert len([ln for ln in out.splitlines() if ln.startswith("  ")]) >= 3
+
+
+def test_eval_cli_family_bmp_set(family_ckpt, tmp_path, capsys):
+    """eval --checkpoint <family> --images GLOB --labels FILE: dataset
+    accuracy through the checkpoint's own (torch-style) preprocessing."""
+    from qcnn_tpu.cli import main
+
+    rng = np.random.default_rng(5)
+    for i in range(4):
+        _write_bmp(str(tmp_path / f"img{i}.bmp"),
+                   rng.integers(0, 256, (230, 250, 3), dtype=np.uint8))
+    labels = tmp_path / "labels.txt"
+    labels.write_text(
+        "\n".join(f"img{i}.JPEG {i * 7}" for i in range(4)) + "\n")
+    assert main([
+        "eval", "--checkpoint", family_ckpt,
+        "--images", str(tmp_path / "*.bmp"),
+        "--labels", str(labels), "--batch", "2",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "ACCURACY@1:" in out and "ACCURACY@5:" in out
+    assert "4 images" in out

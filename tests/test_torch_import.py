@@ -425,3 +425,18 @@ def test_quantize_cli_from_torch(tmp_path, monkeypatch):
     pre = load_preprocessor(out)
     assert isinstance(pre, TorchPreprocessor)
     assert pre.crop == spec.in_height
+
+
+def test_deeper_resnet_variants_map():
+    """resnet101/152 specs exist and the torchvision naming maps without a
+    forward (the per-block mapping is spec-driven)."""
+    for name, blocks in [("resnet101", (3, 4, 23, 3)),
+                         ("resnet152", (3, 8, 36, 3))]:
+        spec = resnet.RESNETS[name]()
+        assert spec.stage_depths == blocks
+        sd = _mk_state_dict(spec, np.random.default_rng(5))
+        params = resnet_from_torch_state_dict(spec, sd)
+        for s, d in enumerate(blocks):
+            for b in range(d):
+                assert f"s{s}b{b}" in params
+        assert len(params) == sum(blocks) + 2  # + stem + fc
