@@ -531,6 +531,50 @@ def cmd_make_family(args) -> int:
 # story; its loop is synchronous batch-1, CaffeEva.cc:167-210)
 # ---------------------------------------------------------------------------
 
+def family_engine_from_checkpoint(path: str, config,
+                                  *, memory_mode: bool = False,
+                                  compute_dtype=None):
+    """Build (engine, preprocessor, class_names) from a family checkpoint
+    — a self-contained serving artifact: the embedded torch-style eval
+    transform makes BMP uploads work like the linear models (raw X-Shape
+    tensors remain accepted). The engine is returned un-started."""
+    import functools
+
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from qcnn_tpu.formats.checkpoint import (
+        load_family_checkpoint, load_preprocessor,
+    )
+    from qcnn_tpu.serve.engine import BatchingEngine
+
+    family, spec, params = load_family_checkpoint(path)
+    fam = __import__(f"qcnn_tpu.models.{family}", fromlist=[family])
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16
+    prepared = fam.prepare_params(spec, params, dtype=compute_dtype,
+                                  memory=memory_mode)
+    size = spec.in_size if family == "resnet" else spec.image_size
+    fwd = functools.partial(
+        fam.forward, spec=spec, compute_dtype=compute_dtype,
+        with_softmax=True,
+    )
+    upload = (ml_dtypes.bfloat16 if compute_dtype == jnp.bfloat16
+              else None)
+    engine = BatchingEngine.from_forward(
+        fwd, prepared, (size, size, 3), config=config,
+        upload_dtype=upload,
+    )
+    preprocessor = load_preprocessor(path)
+    class_names = None
+    names_path = os.path.join(path, "class_names.txt")
+    if os.path.exists(names_path):
+        from qcnn_tpu.models.loader import load_class_names
+
+        class_names = load_class_names(names_path)
+    return engine, preprocessor, class_names
+
+
 def cmd_serve(args) -> int:
     import functools
 
@@ -555,40 +599,10 @@ def cmd_serve(args) -> int:
         with open(os.path.join(args.checkpoint, "manifest.json")) as f:
             manifest = _json.load(f)
         if "family" in manifest:
-            import jax.numpy as jnp
-
-            from qcnn_tpu.formats.checkpoint import load_family_checkpoint
-
-
-            family, spec, params = load_family_checkpoint(args.checkpoint)
-            fam = __import__(
-                f"qcnn_tpu.models.{family}", fromlist=[family]
+            engine, preprocessor, class_names = family_engine_from_checkpoint(
+                args.checkpoint, config, memory_mode=args.memory_mode
             )
-            prepared = fam.prepare_params(
-                spec, params, memory=args.memory_mode
-            )
-            size = spec.in_size if family == "resnet" else spec.image_size
-            fwd = functools.partial(
-                fam.forward, spec=spec, compute_dtype=jnp.bfloat16,
-                with_softmax=True,
-            )
-            import ml_dtypes
-
-            engine = BatchingEngine.from_forward(
-                fwd, prepared, (size, size, 3), config=config,
-                upload_dtype=ml_dtypes.bfloat16,
-            ).start()
-            # family checkpoints embed the torch-style eval transform, so
-            # BMP uploads work like the linear models (raw X-Shape tensors
-            # remain accepted)
-            from qcnn_tpu.formats.checkpoint import load_preprocessor
-
-            preprocessor = load_preprocessor(args.checkpoint)
-            names_path = os.path.join(args.checkpoint, "class_names.txt")
-            if os.path.exists(names_path):
-                from qcnn_tpu.models.loader import load_class_names
-
-                class_names = load_class_names(names_path)
+            engine.start()
         else:
             from qcnn_tpu.formats.checkpoint import (
                 load_checkpoint, load_preprocessor,

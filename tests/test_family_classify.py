@@ -172,3 +172,42 @@ def test_eval_cli_family_bmp_set(family_ckpt, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "ACCURACY@1:" in out and "ACCURACY@5:" in out
     assert "4 images" in out
+
+
+def test_serve_family_checkpoint_bmp_upload(family_ckpt, tmp_path):
+    """family checkpoint -> serving engine; BMP upload goes through the
+    embedded torch-style transform (cli.family_engine_from_checkpoint,
+    the serve --checkpoint family path)."""
+    import json
+    import urllib.request
+
+    import jax.numpy as jnp
+
+    from qcnn_tpu.cli import family_engine_from_checkpoint
+    from qcnn_tpu.serve.engine import EngineConfig
+    from qcnn_tpu.serve.http import serve as http_serve
+
+    engine, pre, names = family_engine_from_checkpoint(
+        family_ckpt, EngineConfig(max_batch=2, max_wait_ms=5.0),
+        compute_dtype=jnp.float32,
+    )
+    assert pre is not None
+    engine.start()
+    server = http_serve(engine, host="127.0.0.1", port=0, block=False,
+                        preprocessor=pre, class_names=names)
+    port = server.server_address[1]
+    try:
+        bmp_path = tmp_path / "up.bmp"
+        _write_bmp(str(bmp_path), np.random.default_rng(6).integers(
+            0, 256, (240, 240, 3), dtype=np.uint8))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/classify",
+            data=bmp_path.read_bytes(), method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert len(out["class_ids"]) == 5
+        assert all(0.0 <= p <= 1.0 for p in out["probs"])
+    finally:
+        server.shutdown()
+        engine.stop()
