@@ -56,6 +56,17 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float),    # out
                 ctypes.c_int,                      # threads
             ]
+            lib.qcnn_preproc_batch_torch.restype = ctypes.c_int
+            lib.qcnn_preproc_batch_torch.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p),   # buffers
+                ctypes.POINTER(ctypes.c_int64),    # lengths
+                ctypes.c_int,                      # n
+                ctypes.c_int, ctypes.c_int,        # resize, crop
+                ctypes.POINTER(ctypes.c_float),    # mean3
+                ctypes.POINTER(ctypes.c_float),    # std3
+                ctypes.POINTER(ctypes.c_float),    # out
+                ctypes.c_int,                      # threads
+            ]
             _lib = lib
         except (OSError, subprocess.CalledProcessError):
             _build_failed = True
@@ -100,6 +111,41 @@ def preproc_batch(
         mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         mean.shape[0], mean.shape[1],
         1 if mean_full else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        threads,
+    )
+    return out, failures
+
+
+def preproc_batch_torch(
+    bmp_blobs: Sequence[bytes],
+    *,
+    resize: int,
+    crop: int,
+    mean: np.ndarray,
+    std: np.ndarray,
+    threads: int = 0,
+) -> tuple[np.ndarray, int]:
+    """torch-ecosystem eval transform (TorchPreprocessor semantics) over
+    BMP byte blobs -> ((N, crop, crop, 3) float32 RGB normalized,
+    failure_count). Failed slots are zeroed."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native imgproc unavailable (no g++?)")
+    n = len(bmp_blobs)
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+    out = np.zeros((n, crop, crop, 3), np.float32)
+    buf_ptrs = (ctypes.c_void_p * n)()
+    lengths = (ctypes.c_int64 * n)()
+    keepalive = [np.frombuffer(b, np.uint8) for b in bmp_blobs]
+    for i, arr in enumerate(keepalive):
+        buf_ptrs[i] = arr.ctypes.data
+        lengths[i] = arr.size
+    failures = lib.qcnn_preproc_batch_torch(
+        buf_ptrs, lengths, n, resize, crop,
+        mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         threads,
     )

@@ -170,6 +170,55 @@ void center_crop_into(const Image& img, int crop_h, int crop_w,
   }
 }
 
+// Half-pixel-convention bilinear resize (pipeline.py
+// resize_bilinear_halfpixel): the torch/standard-imaging convention used
+// by the torch-ecosystem eval transform. Separable two-pass in double,
+// matching the NumPy reference's accumulation order.
+Image resize_halfpixel(const Image& img, int out_h, int out_w) {
+  auto taps = [](int n_out, int n_src, std::vector<int>* lo,
+                 std::vector<int>* hi, std::vector<double>* wlo,
+                 std::vector<double>* whi) {
+    lo->resize(n_out);
+    hi->resize(n_out);
+    wlo->resize(n_out);
+    whi->resize(n_out);
+    double scale = static_cast<double>(n_src) / n_out;
+    for (int i = 0; i < n_out; ++i) {
+      double c = (i + 0.5) * scale - 0.5;
+      c = std::min(std::max(c, 0.0), static_cast<double>(n_src - 1));
+      int l = static_cast<int>(c);
+      (*lo)[i] = l;
+      (*hi)[i] = std::min(n_src - 1, l + 1);
+      (*whi)[i] = c - l;
+      (*wlo)[i] = 1.0 - (*whi)[i];
+    }
+  };
+  std::vector<int> hl, hh, wl, wh;
+  std::vector<double> whl, whh, wwl, wwh;
+  taps(out_h, img.h, &hl, &hh, &whl, &whh);
+  taps(out_w, img.w, &wl, &wh, &wwl, &wwh);
+  Image out;
+  out.h = out_h;
+  out.w = out_w;
+  out.data.resize(static_cast<size_t>(out_h) * out_w * 3);
+  std::vector<double> row(static_cast<size_t>(img.w) * 3);
+  for (int y = 0; y < out_h; ++y) {
+    const float* rlo = img.data.data() + static_cast<size_t>(hl[y]) * img.w * 3;
+    const float* rhi = img.data.data() + static_cast<size_t>(hh[y]) * img.w * 3;
+    for (size_t i = 0; i < row.size(); ++i)
+      row[i] = rlo[i] * whl[y] + rhi[i] * whh[y];
+    float* dst = out.data.data() + static_cast<size_t>(y) * out_w * 3;
+    for (int x = 0; x < out_w; ++x) {
+      const double* l = row.data() + static_cast<size_t>(wl[x]) * 3;
+      const double* r = row.data() + static_cast<size_t>(wh[x]) * 3;
+      for (int c = 0; c < 3; ++c)
+        dst[x * 3 + c] =
+            static_cast<float>(l[c] * wwl[x] + r[c] * wwh[x]);
+    }
+  }
+  return out;
+}
+
 }  // namespace
 
 extern "C" {
@@ -220,6 +269,77 @@ int qcnn_preproc_batch(const uint8_t** buffers, const int64_t* lengths,
         }
         center_crop_into(resized, crop_h, crop_w, mean, mean_h, mean_w,
                          full_order, dst);
+      } catch (...) {
+        std::memset(dst, 0, out_stride * sizeof(float));
+        failures.fetch_add(1);
+      }
+    }
+  };
+
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
+// torch-ecosystem eval transform (pipeline.py TorchPreprocessor): BGR->RGB,
+// aspect-preserving shorter-side half-pixel bilinear resize to `resize`
+// (other side >= crop), center crop to (crop, crop), v/255 then per-channel
+// (v - mean[c]) / std[c]. out: (N, crop, crop, 3) float32 RGB normalized.
+// Returns the number of failed images (their slots are zeroed).
+int qcnn_preproc_batch_torch(const uint8_t** buffers, const int64_t* lengths,
+                             int n, int resize, int crop, const float* mean3,
+                             const float* std3, float* out, int threads) {
+  if (threads <= 0) {
+    threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (threads <= 0) threads = 4;
+  }
+  threads = std::min(threads, n);
+  std::atomic<int> next{0};
+  std::atomic<int> failures{0};
+  size_t out_stride = static_cast<size_t>(crop) * crop * 3;
+
+  auto worker = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      float* dst = out + out_stride * i;
+      try {
+        Image img;
+        if (!decode_bmp(buffers[i], lengths[i], &img)) {
+          std::memset(dst, 0, out_stride * sizeof(float));
+          failures.fetch_add(1);
+          continue;
+        }
+        // BGR -> RGB in place
+        for (size_t p = 0; p < img.data.size(); p += 3)
+          std::swap(img.data[p], img.data[p + 2]);
+        int oh, ow;
+        if (img.h <= img.w) {
+          oh = resize;
+          // nearbyint = round-half-to-even, matching Python round()
+          ow = std::max(crop, static_cast<int>(std::nearbyint(
+                  static_cast<double>(img.w) * resize / img.h)));
+        } else {
+          ow = resize;
+          oh = std::max(crop, static_cast<int>(std::nearbyint(
+                  static_cast<double>(img.h) * resize / img.w)));
+        }
+        Image full = resize_halfpixel(img, oh, ow);
+        int oy = (full.h - crop) / 2;
+        int ox = (full.w - crop) / 2;
+        for (int y = 0; y < crop; ++y) {
+          const float* src = full.data.data() +
+                             (static_cast<size_t>(y + oy) * full.w + ox) * 3;
+          float* row = dst + static_cast<size_t>(y) * crop * 3;
+          for (int x = 0; x < crop; ++x) {
+            for (int c = 0; c < 3; ++c) {
+              double v = static_cast<double>(src[x * 3 + c]) / 255.0;
+              row[x * 3 + c] = static_cast<float>(
+                  (v - static_cast<double>(mean3[c])) /
+                  static_cast<double>(std3[c]));
+            }
+          }
+        }
       } catch (...) {
         std::memset(dst, 0, out_stride * sizeof(float));
         failures.fetch_add(1);

@@ -259,9 +259,36 @@ class TorchPreprocessor:
         return self(read_bmp(bmp_path))[None]
 
     def load_batch(self, bmp_paths, native: str = "auto") -> np.ndarray:
+        if native != "never":
+            out = self.process_blobs(
+                [open(p, "rb").read() for p in bmp_paths],
+                require=(native == "require"),
+            )
+            if out is not None:
+                return out
+            if native == "require":
+                raise RuntimeError("native imgproc unavailable")
         return np.stack([self(read_bmp(p)) for p in bmp_paths])
 
     def process_blobs(self, blobs, require: bool = False):
-        from qcnn_tpu.preproc.bmp import decode_bmp
+        """BMP byte blobs -> (N, crop, crop, 3) via the threaded C++
+        pipeline (imgproc.cc qcnn_preproc_batch_torch); NumPy fallback when
+        the native library is unavailable (require=False returns it
+        directly so callers need no second path)."""
+        from qcnn_tpu.preproc import native as native_mod
 
-        return np.stack([self(decode_bmp(b)) for b in blobs])
+        if not native_mod.available():
+            if require:
+                return None
+            from qcnn_tpu.preproc.bmp import decode_bmp
+
+            return np.stack([self(decode_bmp(b)) for b in blobs])
+        out, failures = native_mod.preproc_batch_torch(
+            blobs, resize=self.resize, crop=self.crop,
+            mean=self.mean, std=self.std,
+        )
+        if failures:
+            raise ValueError(
+                f"{failures} of {len(blobs)} images failed native decode"
+            )
+        return out

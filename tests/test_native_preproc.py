@@ -117,3 +117,25 @@ def test_native_is_faster_batch(bmps, native_lib, rng):
     t_numpy = time.perf_counter() - t0
     print(f"native {t_native*1e3:.1f} ms vs numpy {t_numpy*1e3:.1f} ms")
     assert t_native < t_numpy * 2.0
+
+
+def test_torch_transform_parity(bmps, native_lib):
+    """qcnn_preproc_batch_torch vs the NumPy TorchPreprocessor path on the
+    shipped BMPs (several aspect ratios): same taps, same normalize."""
+    from qcnn_tpu.preproc.pipeline import TorchPreprocessor
+
+    pre = TorchPreprocessor.imagenet(crop=224, resize=256)
+    got = pre.load_batch(bmps, native="require")
+    want = pre.load_batch(bmps, native="never")
+    assert got.shape == want.shape == (len(bmps), 224, 224, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_torch_transform_hostile_input(native_lib):
+    """Hostile/truncated BMPs count as per-image failures (error), never
+    crashes — same contract as the Caffe-path batch entry point."""
+    from qcnn_tpu.preproc.pipeline import TorchPreprocessor
+
+    pre = TorchPreprocessor.imagenet()
+    with pytest.raises(ValueError, match="failed native decode"):
+        pre.process_blobs([b"not a bmp", _bmp_with_dims(2**31 - 1, 40)])
