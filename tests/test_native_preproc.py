@@ -139,3 +139,45 @@ def test_torch_transform_hostile_input(native_lib):
     pre = TorchPreprocessor.imagenet()
     with pytest.raises(ValueError, match="failed native decode"):
         pre.process_blobs([b"not a bmp", _bmp_with_dims(2**31 - 1, 40)])
+
+
+def test_torch_transform_orientations(native_lib, rng):
+    """Synthetic portrait / tiny / square BMPs: the aspect-preserving
+    shorter-side sizing and round-half-to-even must match NumPy in both
+    orientations (the shipped fixtures do not cover h > w)."""
+    import struct
+
+    from qcnn_tpu.preproc.pipeline import TorchPreprocessor
+
+    def write_bmp_bytes(rgb):
+        h, w, _ = rgb.shape
+        row_bytes = (3 * w + 3) & ~3
+        header = bytearray(54)
+        header[0:2] = b"BM"
+        struct.pack_into("<I", header, 2, 54 + row_bytes * h)
+        struct.pack_into("<I", header, 10, 54)
+        struct.pack_into("<I", header, 14, 40)
+        struct.pack_into("<i", header, 18, w)
+        struct.pack_into("<i", header, 22, h)
+        struct.pack_into("<H", header, 26, 1)
+        struct.pack_into("<H", header, 28, 24)
+        rows = bytearray()
+        pad = b"\0" * (row_bytes - 3 * w)
+        bgr = rgb[..., ::-1]
+        for r in range(h - 1, -1, -1):
+            rows += bgr[r].tobytes() + pad
+        return bytes(header) + bytes(rows)
+
+    pre = TorchPreprocessor.imagenet(crop=96, resize=112)
+    blobs = [
+        write_bmp_bytes(
+            (rng.standard_normal((h, w, 3)) * 60 + 128).clip(0, 255)
+            .astype(np.uint8))
+        for h, w in [(480, 320), (320, 480), (112, 112), (97, 301),
+                     (301, 97), (100, 100)]
+    ]
+    got = pre.process_blobs(blobs)
+    from qcnn_tpu.preproc.bmp import decode_bmp
+
+    want = np.stack([pre(decode_bmp(b)) for b in blobs])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
