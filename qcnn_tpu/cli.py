@@ -380,10 +380,11 @@ def cmd_quantize(args) -> int:
 
     src = str(args.checkpoint)
     embed_torch_preproc = False
-    if src.endswith((".caffemodel", ".pt", ".pth")):
+    if src.endswith((".caffemodel", ".pt", ".pth", ".onnx")):
         # real-world FP32 ingestion (BASELINE config 3: "quantize from FP32
-        # checkpoint"): Caffe protobuf (the reference lineage's format) or
-        # a torchvision-style state_dict (features./classifier. naming)
+        # checkpoint"): Caffe protobuf (the reference lineage's format), a
+        # torchvision-style state_dict (features./classifier. naming), or
+        # an ONNX graph (Conv/Gemm/MatMul weights in node order)
         if not args.arch:
             log("error: --arch is required for weight-file input "
                 "(the file carries weights, not topology)")
@@ -395,6 +396,13 @@ def cmd_quantize(args) -> int:
             from qcnn_tpu.formats.caffe_pb import import_caffemodel
 
             params = import_caffemodel(args.checkpoint, spec)
+        elif src.endswith(".onnx"):
+            from qcnn_tpu.formats.onnx_import import import_onnx
+
+            params = import_onnx(args.checkpoint, spec)
+            # ONNX exports on this lineage come from torch/TF training
+            # stacks whose eval transform is the [0,1] mean/std one
+            embed_torch_preproc = True
         else:
             from qcnn_tpu.models.torch_import import load_torch_linear
 
