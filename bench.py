@@ -95,7 +95,8 @@ def dp_wrap(step, dp: int):
 
 def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
                  dp: int = 0, memory: bool = False,
-                 conv_impl: str = "auto", fc_impl: str = "auto"):
+                 conv_impl: str = "auto", fc_impl: str = "auto",
+                 pp: int = 0, microbatches: int = 0):
     """Throughput for the ResNet/ViT PQ families (synthetic weights —
     no pretrained checkpoints ship offline; timing is weight-agnostic).
     memory=True keeps PQ params compressed (in-step one-hot decode);
@@ -148,11 +149,32 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
         spec = fam.VITS[model]()
         size = spec.image_size
     pq = fam.quantize_params(spec, fam.init_dense_params(spec, seed=0))
-    prepared = jax.device_put(
-        fam.prepare_params(spec, pq, dtype=dtype, memory=memory)
-    )
+    prepared = fam.prepare_params(spec, pq, dtype=dtype, memory=memory)
     x = rng.standard_normal((batch, size, size, 3)).astype(np.float32)
     fam_act = _jnp.bfloat16 if dtype in (_jnp.int8, "int8") else dtype
+
+    if pp:
+        # pipeline-parallel scaling mode (ViT only: homogeneous blocks)
+        if not model.startswith("vit"):
+            raise NotImplementedError("--pp applies to the ViT family")
+        from qcnn_tpu.parallel.pipeline import (
+            make_pipeline_mesh, pipeline_vit_forward,
+            place_pipeline_params, stack_vit_blocks,
+        )
+
+        mesh = make_pipeline_mesh(jax.devices()[:pp])
+        stacked, rest = stack_vit_blocks(spec, prepared)
+        stacked, rest = place_pipeline_params(mesh, stacked, rest)
+        mb = microbatches or max(2, 2 * pp)
+        pipe = pipeline_vit_forward(mesh, spec, microbatches=mb,
+                                    compute_dtype=fam_act)
+
+        def step(x, stacked, rest):
+            return pipe(stacked, rest, x)
+
+        return time_device_fn(step, x, stacked, rest, k1=k1, k2=k2), spec
+
+    prepared = jax.device_put(prepared)
 
     def step(x, params):
         return fam.forward(params, x, spec=spec, compute_dtype=fam_act)
@@ -178,9 +200,14 @@ def main() -> None:
     ap.add_argument("--dp", type=int, default=0,
                     help="shard the batch over N devices on a (data,) mesh "
                          "(scaling harness; needs N visible devices)")
+    ap.add_argument("--pp", type=int, default=0,
+                    help="pipeline the ViT blocks over N stage devices "
+                         "(GPipe schedule, parallel/pipeline.py)")
+    ap.add_argument("--microbatches", type=int, default=0,
+                    help="pipeline microbatches (default 2*pp)")
     ap.add_argument("--cpu", action="store_true",
-                    help="run on a virtual CPU mesh (pairs with --dp N; "
-                         "device count = max(dp, 8))")
+                    help="run on a virtual CPU mesh (pairs with --dp N / "
+                         "--pp N; device count = max(dp, pp, 8))")
     args = ap.parse_args()
 
     if args.cpu:
@@ -190,7 +217,7 @@ def main() -> None:
         # CPU-backend init, which has not happened yet
         import os as _os
 
-        n = max(args.dp, 8)
+        n = max(args.dp, args.pp, 8)
         flags = _os.environ.get("XLA_FLAGS", "")
         if "xla_force_host_platform_device_count" not in flags:
             _os.environ["XLA_FLAGS"] = (
@@ -213,7 +240,7 @@ def main() -> None:
         try:
             per_step, spec = bench_family(
                 args.model, args.batch, dtype_arg, args.k1, args.k2,
-                dp=args.dp,
+                dp=args.dp, pp=args.pp, microbatches=args.microbatches,
                 memory=("memory" in (args.conv_impl, args.fc_impl)),
                 conv_impl=args.conv_impl, fc_impl=args.fc_impl,
             )
