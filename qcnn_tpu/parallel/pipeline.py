@@ -28,8 +28,6 @@ embed/head are a few percent of ViT FLOPs and run replicated.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -166,7 +164,7 @@ def pipeline_vit_forward(
         out_specs=P(),
     )
 
-    @functools.partial(jax.jit, static_argnums=())
+    @jax.jit
     def fn(stacked_blocks, rest, x):
         if compute_dtype is not None:
             x = x.astype(compute_dtype)

@@ -68,6 +68,21 @@ def main() -> int:
         got = np.asarray(pq_fc_pallas(jnp.asarray(x), p, interpret=False))
         want_f32 = np.asarray(pq_fc_decode(jnp.asarray(x), p))
         ok &= check(f"pq_fc_pallas/{name}", got, want_f32, 2e-2)
+
+    # fused LRN (documented negative for perf, but must stay compiled-
+    # correct: it is the in-tree Mosaic reference for the §2b study)
+    from qcnn_tpu.ops.misc import lrn
+    from qcnn_tpu.ops.pallas.lrn_fused import lrn_fused
+
+    kw = dict(size=5, alpha=1e-4, beta=0.75, k=1.0)
+    xl = jnp.asarray(rng.standard_normal((8, 13, 13, 96)) * 2, jnp.bfloat16)
+    want_l = np.asarray(lrn(xl, impl="band", **kw), np.float32)
+    for variant in ("dot", "shift"):
+        got_l = np.asarray(
+            lrn_fused(xl, window=variant, tile_m=256, interpret=False, **kw),
+            np.float32,
+        )
+        ok &= check(f"lrn_fused/{variant}", got_l, want_l, 1e-2)
     print("TPU_SMOKE", "OK" if ok else "FAILED", flush=True)
     return 0 if ok else 1
 
