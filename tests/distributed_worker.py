@@ -73,8 +73,11 @@ def tiny_model(rng):
 
 def global_array(value, sharding):
     value = np.asarray(value)
+    # dtype must be explicit: a process may hold no addressable shard of
+    # the array (e.g. the 4-stage pipeline mesh lives on process 0's
+    # devices entirely when local_devices=4)
     return jax.make_array_from_callback(
-        value.shape, sharding, lambda idx: value[idx]
+        value.shape, sharding, lambda idx: value[idx], dtype=value.dtype
     )
 
 
@@ -119,6 +122,48 @@ def main() -> int:
         np.testing.assert_allclose(
             np.asarray(shard.data), want[shard.index], rtol=1e-4, atol=1e-5
         )
+
+    # Pipeline parallelism with the stage ring SPANNING processes: 4 stages
+    # over global devices 2..5 (the last two of process 0 + first two of
+    # process 1 with 2x4 devices), so the stage-1 -> stage-2 ppermute hop
+    # crosses the process boundary over the gloo collectives backend.
+    from qcnn_tpu.models import vit
+    from qcnn_tpu.parallel.pipeline import (
+        STAGE_AXIS, make_pipeline_mesh, pipeline_vit_forward,
+        stack_vit_blocks,
+    )
+
+    pp_spec = vit.ViTSpec("pp-dist", patch=8, image_size=16, dim=32,
+                          depth=4, heads=2, num_classes=8)
+    pp_params = vit.init_dense_params(pp_spec, seed=5)
+    xpp = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+    want_pp = np.asarray(vit.forward(pp_params, xpp, spec=pp_spec,
+                                     with_softmax=True))
+
+    pp_mesh = make_pipeline_mesh(jax.devices()[2:6])
+    stacked, rest = stack_vit_blocks(pp_spec, pp_params)
+    # multi-process placement: device_put cannot target non-addressable
+    # devices, so materialize global arrays from the (identical) host
+    # values in every process
+    stacked = jax.tree.map(
+        lambda v: global_array(v, NamedSharding(
+            pp_mesh, P(STAGE_AXIS, *([None] * (np.ndim(v) - 1))))),
+        stacked,
+    )
+    rest = jax.tree.map(
+        lambda v: global_array(v, NamedSharding(pp_mesh, P())), rest
+    )
+    pp_fn = pipeline_vit_forward(pp_mesh, pp_spec, microbatches=2,
+                                 with_softmax=True)
+    gx = global_array(xpp, NamedSharding(pp_mesh, P()))
+    pp_out = pp_fn(stacked, rest, gx)
+    for shard in pp_out.addressable_shards:
+        np.testing.assert_allclose(
+            np.asarray(shard.data), want_pp[shard.index],
+            rtol=2e-5, atol=2e-6,
+        )
+    print(f"PP_OK {pid} stages=4", flush=True)
+
     print(f"WORKER_OK {pid} processes={nproc} global_devices={n_global}",
           flush=True)
     return 0

@@ -53,4 +53,5 @@ def test_multiprocess_global_mesh_forward(nproc, local_devices):
             f"worker {pid} failed (rc={p.returncode}):\n{out[-3000:]}"
         )
         assert f"WORKER_OK {pid}" in out, out[-3000:]
+        assert f"PP_OK {pid}" in out, out[-3000:]
         assert f"global_devices={nproc * local_devices}" in out
