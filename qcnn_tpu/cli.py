@@ -374,9 +374,7 @@ def cmd_quantize(args) -> int:
     import jax
     import numpy as np
 
-    from qcnn_tpu.core import ConvSpec, FCSpec, is_pq
     from qcnn_tpu.formats.checkpoint import load_checkpoint, save_checkpoint
-    from qcnn_tpu.quantizer.pq import quantize_conv_layer, quantize_fc_layer
 
     src = str(args.checkpoint)
     embed_torch_preproc = False
@@ -423,38 +421,34 @@ def cmd_quantize(args) -> int:
         overrides = {
             int(k): v for k, v in _json.loads(args.layer_config).items()
         }
-    out_params = []
-    key = jax.random.key(args.seed)
-    for i, (layer, p) in enumerate(zip(spec.layers, params)):
-        if p is None or is_pq(p):
-            out_params.append(p)
-            continue
-        ov = overrides.get(i, {})
-        key, sub = jax.random.split(key)
-        if isinstance(layer, ConvSpec) and "kernel" in p:
-            # checkpoint stores HWIO; the quantizer takes the reference's
-            # OIHW convKnl layout
-            kernel = np.transpose(np.asarray(p["kernel"]), (3, 2, 0, 1))
-            cg = kernel.shape[1]
-            d = ov.get("subvec_len", args.conv_subvec_len)
-            q = quantize_conv_layer(
-                sub, kernel, p["bias"],
-                num_subspaces=-(-cg // d),
-                num_codewords=ov.get("codewords", args.conv_codewords),
-            )
-        elif isinstance(layer, FCSpec) and "weight" in p:
-            weight = np.asarray(p["weight"]).T  # (Cin,Cout) -> (Cout,Cin)
-            d = ov.get("subvec_len", args.fc_subvec_len)
-            q = quantize_fc_layer(
-                sub, weight, p["bias"],
-                num_subspaces=-(-weight.shape[1] // d),
-                num_codewords=ov.get("codewords", args.fc_codewords),
-            )
-        else:
-            out_params.append(p)
-            continue
-        out_params.append(q)
-        log(f"layer {i} ({type(layer).__name__}): quantized")
+    x_calib = None
+    if args.calib_npy:
+        x_calib = np.load(args.calib_npy).astype(np.float32)
+        if x_calib.ndim != 4:
+            log(f"error: --calib-npy must be (B, H, W, C); got "
+                f"{x_calib.shape}")
+            return 2
+        log(f"sequential error-corrected PQ over {x_calib.shape[0]} "
+            "calibration inputs (quantized-prefix activations per layer)")
+    elif args.calib_random:
+        x_calib = np.random.default_rng(args.seed + 1).standard_normal(
+            (args.calib_random, spec.in_height, spec.in_width,
+             spec.in_channels)
+        ).astype(np.float32)
+        log(f"sequential error-corrected PQ over {args.calib_random} "
+            "random calibration inputs (mechanics only; use --calib-npy "
+            "with real preprocessed images for accuracy-relevant scales)")
+
+    from qcnn_tpu.quantizer.sequential import quantize_network
+
+    out_params = quantize_network(
+        jax.random.key(args.seed), spec, params,
+        conv_subvec_len=args.conv_subvec_len,
+        conv_codewords=args.conv_codewords,
+        fc_subvec_len=args.fc_subvec_len,
+        fc_codewords=args.fc_codewords,
+        overrides=overrides, x_calib=x_calib, seed=args.seed, log=log,
+    )
     save_checkpoint(args.out, spec, out_params, store=args.store)
     if embed_torch_preproc:
         # torch-trained weights expect the torch eval transform (RGB,
@@ -858,9 +852,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     q = sub.add_parser("quantize", help="FP32 checkpoint -> PQ checkpoint")
     q.add_argument("checkpoint",
-                   help="native checkpoint, a Caffe .caffemodel, or a "
-                        "torchvision-style .pt/.pth state_dict "
-                        "(weight files require --arch)")
+                   help="native checkpoint, a Caffe .caffemodel, a "
+                        "torchvision-style .pt/.pth state_dict, or an "
+                        ".onnx graph (weight files require --arch)")
     q.add_argument("out")
     q.add_argument("--arch", default=None,
                    help="zoo architecture name for weight-file input "
@@ -874,6 +868,14 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--layer-config", default=None,
                    help='per-layer JSON overrides, e.g. '
                         '\'{"21": {"subvec_len": 1, "codewords": 16}}\'')
+    q.add_argument("--calib-npy", default=None, metavar="PATH",
+                   help="preprocessed (B, H, W, C) float32 .npy calibration "
+                        "batch -> sequential ERROR-CORRECTED PQ: each layer "
+                        "quantizes against activations from the already-"
+                        "quantized prefix (the CVPR'16 scheme)")
+    q.add_argument("--calib-random", type=int, default=0, metavar="N",
+                   help="like --calib-npy but with N random inputs "
+                        "(exercises the error-corrected path without data)")
     q.add_argument("--cpu", action="store_true",
                    help="run the quantizer on the host CPU")
     q.add_argument("--store", default="npz", choices=["npz", "orbax"],

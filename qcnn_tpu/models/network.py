@@ -123,6 +123,7 @@ def forward(
     conv_impls: Optional[tuple[str, ...]] = None,
     fc_impls: Optional[tuple[str, ...]] = None,
     collect_act_amax: bool = False,
+    upto: Optional[int] = None,
 ) -> jax.Array:
     """Run the full forward pass.
 
@@ -138,6 +139,10 @@ def forward(
       collect_act_amax: also return {layer_index: amax(|input|)} for every
         conv/FC layer (one jittable program — the int8 calibration pass,
         models/calibrate.py).
+      upto: stop and return the activation ENTERING layer `upto` (pre any
+        FC flatten) — the prefix-forward hook the sequential error-corrected
+        quantizer uses to collect per-layer calibration inputs
+        (quantizer/sequential.py).
     Returns:
       (B, num_classes) class probabilities (or logits if with_softmax=False);
       with collect_act_amax, a (probs, amax_dict) tuple.
@@ -161,6 +166,8 @@ def forward(
 
     first_fc_done = False
     for i, (layer, p) in enumerate(zip(spec.layers, params)):
+        if i == upto:
+            return x
         if isinstance(layer, ConvSpec):
             record_amax(i, x)
             if conv_strat[i] == "dense":
