@@ -505,7 +505,36 @@ def cmd_make_family(args) -> int:
             log(f"imported timm-format ViT weights from {args.from_torch}")
     else:
         dense = fam.init_dense_params(spec, seed=args.seed)
-    params = dense if args.dense else fam.quantize_params(spec, dense)
+    if args.dense:
+        params = dense
+    elif args.calib_npy or args.calib_random:
+        # sequential error-corrected PQ against (quantized-prefix)
+        # activations — the CVPR'16 scheme, family edition
+        import jax
+        import numpy as np
+
+        if args.calib_npy:
+            x_calib = np.load(args.calib_npy).astype(np.float32)
+        else:
+            size = spec.in_size if family == "resnet" else spec.image_size
+            x_calib = np.random.default_rng(args.seed + 1).standard_normal(
+                (args.calib_random, size, size, 3)).astype(np.float32)
+        from qcnn_tpu.quantizer import sequential as seq
+
+        log(f"sequential error-corrected PQ over {x_calib.shape[0]} "
+            "calibration inputs")
+        if family == "resnet":
+            params = seq.quantize_resnet_ec(
+                jax.random.key(args.seed), spec, dense, x_calib,
+                seed=args.seed,
+            )
+        else:
+            params = seq.quantize_vit_ec(
+                jax.random.key(args.seed), spec, dense, x_calib,
+                seed=args.seed,
+            )
+    else:
+        params = fam.quantize_params(spec, dense)
     save_family_checkpoint(args.out, family, spec, params, store=args.store)
     # Embed the torch-ecosystem eval transform so the checkpoint is a
     # self-contained classify/serve artifact (like the linear import path;
@@ -900,6 +929,12 @@ def build_parser() -> argparse.ArgumentParser:
     mf.add_argument("--class-names", default=None, metavar="PATH",
                     help="embed a class-names file (one name per line) "
                          "into the checkpoint")
+    mf.add_argument("--calib-npy", default=None, metavar="PATH",
+                    help="preprocessed (B, H, W, 3) float32 .npy batch -> "
+                         "sequential error-corrected PQ (each layer "
+                         "quantizes against quantized-prefix activations)")
+    mf.add_argument("--calib-random", type=int, default=0, metavar="N",
+                    help="like --calib-npy with N random inputs")
     mf.set_defaults(fn=cmd_make_family)
 
     s = sub.add_parser("serve", help="continuous-batching HTTP daemon")

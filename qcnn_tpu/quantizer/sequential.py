@@ -50,6 +50,171 @@ def _conv_xcal(a: np.ndarray, groups: int, max_samples: int,
     return np.ascontiguousarray(v)
 
 
+def _fc_xcal(a: np.ndarray, max_samples: int,
+             rng: np.random.Generator) -> np.ndarray:
+    """(..., Cin) activations -> (N, Cin) row samples."""
+    v = a.reshape(-1, a.shape[-1])
+    if v.shape[0] > max_samples:
+        v = v[rng.choice(v.shape[0], max_samples, replace=False)]
+    return np.ascontiguousarray(v)
+
+
+def quantize_resnet_ec(
+    key,
+    spec,
+    dense: dict,
+    x_calib: np.ndarray,
+    *,
+    conv_subvec_len: int = 4,
+    conv_codewords: int = 128,
+    fc_subvec_len: int = 4,
+    fc_codewords: int = 32,
+    min_cin: int = 16,
+    max_samples: int = 16384,
+    seed: int = 0,
+) -> dict:
+    """Sequential error-corrected PQ for the ResNet family: single pass —
+    each conv/fc quantizes against the activation entering it (already
+    carrying the quantization error of everything upstream), then the
+    quantized leaf produces the next activation. Mirrors
+    resnet.quantize_params' geometry/min_cin policy and resnet.forward's
+    exact walk (_run_stem/_run_block composition, which
+    tests/test_model_families.py pins against forward)."""
+    import jax.numpy as jnp
+
+    from qcnn_tpu.models import resnet as R
+
+    rng = np.random.default_rng(seed)
+    keys = [key]
+
+    def next_key():
+        keys[0], sub = jax.random.split(keys[0])
+        return sub
+
+    out: dict = {}
+
+    def quant_conv(p: dict, a: np.ndarray) -> dict:
+        kh, kw, cin, cout = p["kernel"].shape
+        if cin < min_cin:
+            return dict(p)
+        oihw = np.transpose(np.asarray(p["kernel"]), (3, 2, 0, 1))
+        return quantize_conv_layer(
+            next_key(), oihw, p["bias"],
+            num_subspaces=-(-cin // conv_subvec_len),
+            num_codewords=conv_codewords,
+            xcal=_conv_xcal(a, 1, max_samples, rng),
+        )
+
+    a = jnp.asarray(x_calib, jnp.float32)
+    cast = R._make_cast(None)
+    out["stem"] = quant_conv(dense["stem"], np.asarray(a))
+    a = R._run_stem(a, out, cast)
+    for s, depth in enumerate(spec.stage_depths):
+        for b in range(depth):
+            stride = 2 if (s > 0 and b == 0) else 1
+            blk_in = np.asarray(a)
+            src = dense[f"s{s}b{b}"]
+            qblk: dict = {}
+            if "proj" in src:
+                qblk["proj"] = quant_conv(src["proj"], blk_in)
+            if spec.bottleneck:
+                qblk["conv1"] = quant_conv(src["conv1"], blk_in)
+                y = R.relu(R._apply_conv(a, qblk["conv1"]))
+                qblk["conv2"] = quant_conv(src["conv2"], np.asarray(y))
+                y = R.relu(R._apply_conv(y, qblk["conv2"], stride=stride,
+                                         pad=1))
+                qblk["conv3"] = quant_conv(src["conv3"], np.asarray(y))
+            else:
+                qblk["conv1"] = quant_conv(src["conv1"], blk_in)
+                y = R.relu(R._apply_conv(a, qblk["conv1"], stride=stride,
+                                         pad=1))
+                qblk["conv2"] = quant_conv(src["conv2"], np.asarray(y))
+            out[f"s{s}b{b}"] = qblk
+            a = R._run_block(a, qblk, stride, spec.bottleneck, cast)
+    pooled = np.asarray(jnp.mean(a.astype(jnp.float32), axis=(1, 2)))
+    out["fc"] = quantize_fc_layer(
+        next_key(), np.asarray(dense["fc"]["weight"]).T,
+        dense["fc"]["bias"],
+        num_subspaces=-(-dense["fc"]["weight"].shape[0] // fc_subvec_len),
+        num_codewords=fc_codewords,
+        xcal=_fc_xcal(pooled, max_samples, rng),
+    )
+    return out
+
+
+def quantize_vit_ec(
+    key,
+    spec,
+    dense: dict,
+    x_calib: np.ndarray,
+    *,
+    subvec_len: int = 4,
+    num_codewords: int = 32,
+    max_samples: int = 16384,
+    seed: int = 0,
+) -> dict:
+    """Sequential error-corrected PQ for the ViT family: every projection
+    GEMM quantizes against its own input under the already-quantized
+    prefix. Mirrors vit.quantize_params' policy and vit.forward's walk
+    (_run_embed/_run_block/_run_head composition)."""
+    import jax.numpy as jnp
+
+    from qcnn_tpu.models import vit as V
+
+    rng = np.random.default_rng(seed)
+    keys = [key]
+
+    def next_key():
+        keys[0], sub = jax.random.split(keys[0])
+        return sub
+
+    def quant_gemm(p: dict, a) -> dict:
+        return quantize_fc_layer(
+            next_key(), np.asarray(p["weight"]).T, p["bias"],
+            num_subspaces=-(-p["weight"].shape[0] // subvec_len),
+            num_codewords=num_codewords,
+            xcal=_fc_xcal(np.asarray(a, np.float32), max_samples, rng),
+        )
+
+    cast = V._make_cast(None)
+    out: dict = {
+        "cls_token": dense["cls_token"],
+        "pos_embed": dense["pos_embed"],
+        "ln_final": dense["ln_final"],
+    }
+    x = jnp.asarray(x_calib, jnp.float32)
+    b, h, w, c = x.shape
+    p_sz = spec.patch
+    patches = x.reshape(b, h // p_sz, p_sz, w // p_sz, p_sz, c)
+    patches = jnp.transpose(patches, (0, 1, 3, 2, 4, 5)).reshape(
+        b, spec.num_patches, -1)
+    out["patch_embed"] = quant_gemm(dense["patch_embed"], patches)
+    a = V._run_embed(x, out, spec, cast)
+    for i in range(spec.depth):
+        src = dense[f"blk{i}"]
+        qblk = {"ln1": src["ln1"], "ln2": src["ln2"]}
+        nh, hd = spec.heads, spec.dim // spec.heads
+        y = V._layernorm(a, qblk["ln1"])
+        qblk["qkv"] = quant_gemm(src["qkv"], y)
+        qkv = V._proj(y, qblk["qkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        o = V._masked_attention(
+            q.reshape(b, -1, nh, hd), k.reshape(b, -1, nh, hd),
+            v.reshape(b, -1, nh, hd), 0,
+        ).reshape(b, -1, spec.dim)
+        qblk["out"] = quant_gemm(src["out"], o)
+        x2 = a + V._proj(o, qblk["out"])
+        y2 = V._layernorm(x2, qblk["ln2"])
+        qblk["mlp1"] = quant_gemm(src["mlp1"], y2)
+        g = jax.nn.gelu(V._proj(y2, qblk["mlp1"]), approximate=False)
+        qblk["mlp2"] = quant_gemm(src["mlp2"], g)
+        out[f"blk{i}"] = qblk
+        a = V._run_block(a, qblk, spec, cast, jnp.float32)
+    head_in = V._layernorm(a, out["ln_final"])[:, 0]
+    out["head"] = quant_gemm(dense["head"], head_in)
+    return out
+
+
 def quantize_network(
     key,
     spec: ModelSpec,

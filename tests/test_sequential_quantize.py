@@ -126,3 +126,75 @@ def test_quantize_cli_calib_random(tmp_path, monkeypatch):
     ]) == 0
     spec2, qparams = load_checkpoint(out)
     assert all(is_pq(p) for p in qparams if p is not None)
+
+
+def test_resnet_ec_beats_plain():
+    from qcnn_tpu.models import resnet
+    from qcnn_tpu.quantizer.sequential import quantize_resnet_ec
+
+    spec = resnet.ResNetSpec("tiny", (1, 1), (16, 32), num_classes=7,
+                             in_size=32, bottleneck=False)
+    dense = resnet.init_dense_params(spec, seed=1)
+    x = np.random.default_rng(2).standard_normal(
+        (8, 32, 32, 3)).astype(np.float32)
+    want = np.asarray(resnet.forward(dense, x, spec=spec))
+
+    geom = dict(conv_subvec_len=4, conv_codewords=8,
+                fc_subvec_len=4, fc_codewords=8)
+    plain = resnet.quantize_params(spec, dense, **geom)
+    ec = quantize_resnet_ec(jax.random.key(0), spec, dense, x, **geom)
+
+    # same leaves quantized (policy parity incl. the min_cin stem rule)
+    def pq_paths(t, prefix=""):
+        return sorted(
+            prefix + k for k, v in t.items()
+            if isinstance(v, dict) and "codebooks" in v
+        ) + sorted(
+            p for k, v in t.items() if isinstance(v, dict)
+            and "codebooks" not in v and "kernel" not in v
+            and "weight" not in v
+            for p in pq_paths(v, prefix + k + ".")
+        )
+    assert pq_paths(ec) == pq_paths(plain)
+
+    got_p = np.asarray(resnet.forward(plain, x, spec=spec))
+    got_e = np.asarray(resnet.forward(ec, x, spec=spec))
+    err_p = float(np.linalg.norm(got_p - want))
+    err_e = float(np.linalg.norm(got_e - want))
+    assert err_e < err_p, (err_e, err_p)
+
+
+def test_vit_ec_beats_plain():
+    from qcnn_tpu.models import vit
+    from qcnn_tpu.quantizer.sequential import quantize_vit_ec
+
+    spec = vit.vit_tiny_test()
+    dense = vit.init_dense_params(spec, seed=3)
+    x = np.random.default_rng(4).standard_normal(
+        (8, spec.image_size, spec.image_size, 3)).astype(np.float32)
+    want = np.asarray(vit.forward(dense, x, spec=spec))
+
+    plain = vit.quantize_params(spec, dense, subvec_len=4, num_codewords=8)
+    ec = quantize_vit_ec(jax.random.key(0), spec, dense, x,
+                         subvec_len=4, num_codewords=8)
+    assert set(ec) == set(plain)
+
+    got_p = np.asarray(vit.forward(plain, x, spec=spec))
+    got_e = np.asarray(vit.forward(ec, x, spec=spec))
+    err_p = float(np.linalg.norm(got_p - want))
+    err_e = float(np.linalg.norm(got_e - want))
+    assert err_e < err_p, (err_e, err_p)
+
+
+def test_make_family_cli_calib(tmp_path):
+    """make-family --calib-random: family EC end to end through the CLI
+    (resnet18 keeps size manageable on CPU via tiny calib batch)."""
+    from qcnn_tpu.cli import main
+    from qcnn_tpu.formats.checkpoint import load_family_checkpoint
+
+    out = str(tmp_path / "r18ec")
+    assert main(["make-family", "resnet18", out, "--cpu",
+                 "--calib-random", "2"]) == 0
+    family, spec, params = load_family_checkpoint(out)
+    assert family == "resnet"
+    assert "codebooks" in params["s3b1"]["conv1"]
