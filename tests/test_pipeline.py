@@ -61,3 +61,39 @@ def test_stack_round_trip(spec, params):
     )
     assert "patch_embed" in rest and "head" in rest
     assert not any(k.startswith("blk") for k in rest)
+
+
+def test_pipeline_serves_through_engine(spec, params):
+    """PP composes with the continuous-batching engine: from_forward over
+    the pipeline fn (stage-sharded params stay placed; device_put of
+    committed sharded arrays is a no-op)."""
+    import numpy as np
+
+    from qcnn_tpu.serve.engine import BatchingEngine, EngineConfig
+
+    mesh = make_pipeline_mesh(jax.devices()[:4])
+    stacked, rest = stack_vit_blocks(spec, params)
+    stacked, rest = place_pipeline_params(mesh, stacked, rest)
+    pipe = pipeline_vit_forward(mesh, spec, microbatches=2,
+                                with_softmax=True)
+
+    def fwd(p, x):
+        return pipe(p[0], p[1], x)
+
+    eng = BatchingEngine.from_forward(
+        fwd, (stacked, rest), (spec.image_size, spec.image_size, 3),
+        config=EngineConfig(max_batch=2, max_wait_ms=5.0),
+    ).start()
+    try:
+        rng = np.random.default_rng(7)
+        futs = [
+            eng.submit(rng.standard_normal(
+                (spec.image_size, spec.image_size, 3)).astype(np.float32))
+            for _ in range(4)
+        ]
+        res = [f.result(timeout=120) for f in futs]
+        assert all(r.shape == (spec.num_classes,) for r in res)
+        for r in res:
+            np.testing.assert_allclose(r.sum(), 1.0, rtol=1e-3)
+    finally:
+        eng.stop()
