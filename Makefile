@@ -20,10 +20,13 @@ test:
 lint:
 	python tools/qlint.py
 
+sanitize:
+	python tools/native_sanitize.py
+
 bench:
 	python bench.py
 
 clean:
 	rm -f $(NATIVE)
 
-.PHONY: all test lint bench clean
+.PHONY: all test lint sanitize bench clean

@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""ASan/UBSan gate for the native C++ runtime (imgproc.cc, cbncodec.cc).
+
+The reference ships no sanitizer/race tooling (SURVEY.md §5: "none";
+its code is actively thread-unsafe). Here the native pipeline is
+threaded and parses UNTRUSTED input (HTTP BMP uploads), so memory
+errors are a real attack surface: this tool rebuilds both libraries
+with -fsanitize=address,undefined, re-execs itself with the ASan
+runtime preloaded (required when loading instrumented .so into an
+uninstrumented python), and drives them through the hostile-input and
+parity corpora. Any sanitizer report aborts the process -> non-zero
+exit. Run: python tools/native_sanitize.py  (~15 s; CPU only).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+_FLAGS = ["-O1", "-g", "-std=c++17", "-shared", "-fPIC", "-pthread",
+          "-fsanitize=address,undefined", "-fno-sanitize-recover=all"]
+
+
+def _build(src: str, out: str) -> None:
+    subprocess.run(["g++", *_FLAGS, "-o", out, src],
+                   check=True, capture_output=True)
+
+
+def _reexec_with_asan() -> None:
+    asan = subprocess.run(
+        ["g++", "-print-file-name=libasan.so"],
+        check=True, capture_output=True, text=True,
+    ).stdout.strip()
+    env = dict(os.environ)
+    env["LD_PRELOAD"] = asan
+    # leak checking flags python's own allocations; we are after memory
+    # ERRORS (OOB, UAF, UB), not leaks in a short-lived tool process
+    env["ASAN_OPTIONS"] = "detect_leaks=0:abort_on_error=1"
+    env["QCNN_SANITIZE_STAGE2"] = "1"
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)],
+              env)
+
+
+def _bmp(rgb) -> bytes:
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    row_bytes = (3 * w + 3) & ~3
+    header = bytearray(54)
+    header[0:2] = b"BM"
+    struct.pack_into("<I", header, 2, 54 + row_bytes * h)
+    struct.pack_into("<I", header, 10, 54)
+    struct.pack_into("<I", header, 14, 40)
+    struct.pack_into("<i", header, 18, w)
+    struct.pack_into("<i", header, 22, h)
+    struct.pack_into("<H", header, 26, 1)
+    struct.pack_into("<H", header, 28, 24)
+    rows = bytearray()
+    pad = b"\0" * (row_bytes - 3 * w)
+    bgr = np.asarray(rgb)[..., ::-1]
+    for r in range(h - 1, -1, -1):
+        rows += bgr[r].tobytes() + pad
+    return bytes(header) + bytes(rows)
+
+
+def _bmp_with_dims(width: int, height: int, payload: bytes = b"") -> bytes:
+    header = bytearray(54)
+    header[0:2] = b"BM"
+    struct.pack_into("<I", header, 10, 54)
+    struct.pack_into("<I", header, 14, 40)
+    struct.pack_into("<i", header, 18, width)
+    struct.pack_into("<i", header, 22, height)
+    struct.pack_into("<H", header, 28, 24)
+    struct.pack_into("<I", header, 30, 0)
+    return bytes(header) + payload
+
+
+def main() -> int:
+    import glob
+
+    import numpy as np
+
+    tmp = tempfile.mkdtemp(prefix="qcnn_san_")
+    img_so = os.path.join(tmp, "libimgproc_san.so")
+    cbn_so = os.path.join(tmp, "libcbncodec_san.so")
+    _build(os.path.join(REPO, "qcnn_tpu/preproc/native/imgproc.cc"), img_so)
+    _build(os.path.join(REPO, "qcnn_tpu/formats/native/cbncodec.cc"), cbn_so)
+    print("built instrumented libraries", flush=True)
+
+    # --- imgproc: hostile + well-formed + real corpora through both
+    # entry points, under ASan/UBSan
+    import qcnn_tpu.preproc.native as native_mod
+
+    lib = ctypes.CDLL(img_so)  # noqa: F841 - keep loaded
+    native_mod._lib = lib
+    native_mod._build_failed = False
+    # reuse the binding's prototypes against the instrumented lib
+    for name in ("qcnn_preproc_batch", "qcnn_preproc_batch_torch"):
+        getattr(lib, name).restype = ctypes.c_int
+    lib.qcnn_preproc_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
+    lib.qcnn_preproc_batch_torch.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
+
+    rng = np.random.default_rng(0)
+    blobs = [
+        _bmp(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        for h, w in [(64, 48), (48, 64), (230, 310), (1, 1), (7, 300)]
+    ]
+    hostile = [
+        b"", b"BM", b"not a bmp",
+        _bmp_with_dims(2**31 - 1, 2**31 - 1),
+        _bmp_with_dims(2**31 - 1, -(2**31)),
+        _bmp_with_dims(1 << 20, 4),
+        _bmp_with_dims(100, 100, b"\0" * 64),
+        _bmp(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))[:-40],
+    ]
+    real = sorted(glob.glob("/root/reference/Bmp.Files/*.BMP"))[:4]
+    blobs += [open(p, "rb").read() for p in real]
+
+    mean = np.zeros((256, 256, 3), np.float32)
+    out, failures = native_mod.preproc_batch(
+        blobs + hostile, full_h=256, full_w=256, crop_h=227, crop_w=227,
+        relaxed=False, mean_hwc=mean, mean_full=True,
+    )
+    assert failures == len(hostile), (failures, len(hostile))
+    out2, failures2 = native_mod.preproc_batch_torch(
+        blobs + hostile, resize=256, crop=224,
+        mean=np.array([0.485, 0.456, 0.406], np.float32),
+        std=np.array([0.229, 0.224, 0.225], np.float32),
+    )
+    assert failures2 == len(hostile), failures2
+    print(f"imgproc: {len(blobs)} ok + {len(hostile)} hostile "
+          "(both transforms) clean under ASan/UBSan", flush=True)
+
+    # --- cbncodec: random round-trips at every bit width
+    cbn = ctypes.CDLL(cbn_so)
+    cbn.qcnn_unpack_pages.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
+    cbn.qcnn_pack_pages.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    for bits in range(1, 17):
+        n = int(rng.integers(1, 20000))
+        vals = rng.integers(0, 1 << bits, n, dtype=np.uint32)
+        per_page = (4096 * 8) // bits
+        pages = np.zeros((-(-n // per_page)) * 4096, np.uint8)
+        cbn.qcnn_pack_pages(
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n, bits,
+            pages.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        back = np.zeros(n, np.uint32)
+        cbn.qcnn_unpack_pages(
+            pages.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, bits,
+            back.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        assert np.array_equal(vals, back), bits
+    print("cbncodec: 16 bit-width round-trips clean under ASan/UBSan",
+          flush=True)
+    print("NATIVE_SANITIZE OK", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    if os.environ.get("QCNN_SANITIZE_STAGE2") != "1":
+        _reexec_with_asan()
+    sys.exit(main())
