@@ -40,6 +40,8 @@ _VARINT, _I64, _LEN, _I32 = 0, 1, 2, 5
 def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
     val = shift = 0
     while True:
+        if i >= len(buf):
+            raise ValueError("truncated varint")
         b = buf[i]
         i += 1
         val |= (b & 0x7F) << shift

@@ -141,3 +141,23 @@ def test_onnx_node_count_mismatch_errors():
                     layers=(FCSpec(4),))
     with pytest.raises(ValueError, match="nodes with weights"):
         import_onnx(onnx_bytes, bad)
+
+
+@pytest.mark.parametrize("blob", [
+    b"", b"\x08", b"\x3a\xff\xff\xff\xff\x7f", b"\x00" * 64,
+    bytes(range(256)),
+])
+def test_onnx_malformed_input_raises_cleanly(blob):
+    """Truncated/garbage protobuf must raise ValueError (truncated field /
+    no graph / bad wire type), never crash or hang."""
+    spec = _mini_vgg_spec()
+    with pytest.raises(ValueError):
+        import_onnx(blob, spec)
+
+
+def test_onnx_truncated_real_model_raises():
+    sd = _mk_linear_state_dict(np.random.default_rng(30))
+    blob = _mk_onnx(sd)
+    for cut in (len(blob) // 3, len(blob) - 7):
+        with pytest.raises(ValueError):
+            import_onnx(blob[:cut], _mini_vgg_spec())
