@@ -1,4 +1,8 @@
-from qcnn_tpu.preproc.bmp import read_bmp  # noqa: F401
+from qcnn_tpu.preproc.bmp import (  # noqa: F401
+    decode_image,
+    read_bmp,
+    read_image,
+)
 from qcnn_tpu.preproc.pipeline import (  # noqa: F401
     MeanType,
     Preprocessor,

@@ -45,3 +45,47 @@ def decode_bmp(data: bytes, name: str = "<bytes>") -> np.ndarray:
     if not top_down:
         img = img[::-1]
     return img.astype(np.float32)
+
+
+def read_image(path: str) -> np.ndarray:
+    """Decode any supported image file to (H, W, 3) float32 BGR.
+
+    BMPs go through this repo's own decoder (bit-exact with the
+    reference's pipeline, BmpImgIO.cc:73-103); anything else (JPEG, PNG,
+    ...) decodes via PIL when available — the reference is BMP-only, but
+    real-world inputs (and the torch-trained family models' data) are
+    JPEGs."""
+    with open(path, "rb") as f:
+        head = f.read(2)
+    if head == b"BM":
+        return read_bmp(path)
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise ValueError(
+            f"{path}: not a BMP and PIL is unavailable for other formats"
+        ) from e
+    img = Image.open(path).convert("RGB")
+    rgb = np.asarray(img, np.float32)
+    return np.ascontiguousarray(rgb[..., ::-1])  # RGB -> BGR
+
+
+def decode_image(data: bytes, name: str = "<bytes>") -> np.ndarray:
+    """Decode image bytes to (H, W, 3) float32 BGR: own decoder for BMP,
+    PIL for anything else (JPEG/PNG uploads on the serve path)."""
+    if data[:2] == b"BM":
+        return decode_bmp(data, name=name)
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise ValueError(
+            f"{name}: not a BMP and PIL is unavailable for other formats"
+        ) from e
+    try:
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+    except Exception as e:  # PIL raises various decode errors
+        raise ValueError(f"{name}: undecodable image ({e})") from e
+    rgb = np.asarray(img, np.float32)
+    return np.ascontiguousarray(rgb[..., ::-1])

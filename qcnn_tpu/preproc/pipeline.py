@@ -23,7 +23,7 @@ import enum
 import numpy as np
 
 from qcnn_tpu.formats import read_bin
-from qcnn_tpu.preproc.bmp import read_bmp
+from qcnn_tpu.preproc.bmp import read_image
 
 
 class ReszType(enum.Enum):
@@ -165,26 +165,29 @@ class Preprocessor:
     def load(self, bmp_path: str) -> np.ndarray:
         """BMP file -> (1, crop_h, crop_w, 3) NHWC batch-of-one
         (the reference's BmpImgIO::Load, BmpImgIO.cc:40-71)."""
-        return self(read_bmp(bmp_path))[None]
+        return self(read_image(bmp_path))[None]
 
     def load_batch(self, bmp_paths, native: str = "auto") -> np.ndarray:
         """Batch BMP -> (N, crop_h, crop_w, 3). native='auto' uses the
         threaded C++ pipeline (preproc/native/imgproc.cc) when it compiles,
         'never' forces the NumPy path, 'require' errors without it."""
-        if native != "never":
-            out = self.process_blobs(
-                [open(p, "rb").read() for p in bmp_paths],
-                require=(native == "require"),
-            )
+        blobs = [open(p, "rb").read() for p in bmp_paths]
+        if native != "never" and all(b[:2] == b"BM" for b in blobs):
+            out = self.process_blobs(blobs, require=(native == "require"))
             if out is not None:
                 return out
             if native == "require":
                 raise RuntimeError("native imgproc unavailable")
-        return np.stack([self(read_bmp(p)) for p in bmp_paths])
+        return np.stack([self(read_image(p)) for p in bmp_paths])
 
     def process_blobs(self, blobs, require: bool = False):
-        """BMP byte blobs -> (N, crop_h, crop_w, 3) via the C++ pipeline;
-        None when the native library is unavailable (caller falls back)."""
+        """Image byte blobs -> (N, crop_h, crop_w, 3): the C++ pipeline for
+        all-BMP batches, the NumPy(+PIL) path otherwise; None when the
+        native library is unavailable (caller falls back)."""
+        from qcnn_tpu.preproc.bmp import decode_image
+
+        if any(b[:2] != b"BM" for b in blobs):
+            return np.stack([self(decode_image(b)) for b in blobs])
         from qcnn_tpu.preproc import native as native_mod
 
         if not native_mod.available():
@@ -256,7 +259,7 @@ class TorchPreprocessor:
         return ((cropped / 255.0 - self.mean) / self.std).astype(np.float32)
 
     def load(self, bmp_path: str) -> np.ndarray:
-        return self(read_bmp(bmp_path))[None]
+        return self(read_image(bmp_path))[None]
 
     def load_batch(self, bmp_paths, native: str = "auto") -> np.ndarray:
         if native != "never":
@@ -268,7 +271,7 @@ class TorchPreprocessor:
                 return out
             if native == "require":
                 raise RuntimeError("native imgproc unavailable")
-        return np.stack([self(read_bmp(p)) for p in bmp_paths])
+        return np.stack([self(read_image(p)) for p in bmp_paths])
 
     def process_blobs(self, blobs, require: bool = False):
         """BMP byte blobs -> (N, crop, crop, 3) via the threaded C++
@@ -276,13 +279,15 @@ class TorchPreprocessor:
         the native library is unavailable (require=False returns it
         directly so callers need no second path)."""
         from qcnn_tpu.preproc import native as native_mod
+        from qcnn_tpu.preproc.bmp import decode_image
 
+        if any(b[:2] != b"BM" for b in blobs):
+            # JPEG/PNG (serve uploads): PIL decode + NumPy transform
+            return np.stack([self(decode_image(b)) for b in blobs])
         if not native_mod.available():
             if require:
                 return None
-            from qcnn_tpu.preproc.bmp import decode_bmp
-
-            return np.stack([self(decode_bmp(b)) for b in blobs])
+            return np.stack([self(decode_image(b)) for b in blobs])
         out, failures = native_mod.preproc_batch_torch(
             blobs, resize=self.resize, crop=self.crop,
             mean=self.mean, std=self.std,

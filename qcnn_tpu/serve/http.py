@@ -60,21 +60,22 @@ def make_handler(engine: BatchingEngine, preprocessor, top_k: int,
                     )
                     img = np.frombuffer(body, np.float32).reshape(shape)
                 else:
-                    # BMP uploads go through the model's preprocessing
-                    # (resize/crop/mean-subtract -> HWC); X-Shape raw
-                    # tensors are assumed preprocessed.
+                    # Image uploads (BMP via the native pipeline, JPEG/PNG
+                    # via PIL) go through the model's preprocessing
+                    # (resize/crop/normalize -> HWC); X-Shape raw tensors
+                    # are assumed preprocessed.
                     if preprocessor is not None:
                         batch = preprocessor.process_blobs([body])
                         if batch is not None:  # threaded C++ pipeline
                             img = batch[0]
                         else:
-                            from qcnn_tpu.preproc.bmp import decode_bmp
+                            from qcnn_tpu.preproc.bmp import decode_image
 
-                            img = preprocessor(decode_bmp(body))
+                            img = preprocessor(decode_image(body))
                     else:
-                        from qcnn_tpu.preproc.bmp import decode_bmp
+                        from qcnn_tpu.preproc.bmp import decode_image
 
-                        img = decode_bmp(body)
+                        img = decode_image(body)
             except Exception as e:  # noqa: BLE001
                 self._json(400, {"error": f"bad image: {e}"})
                 return

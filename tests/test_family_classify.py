@@ -211,3 +211,72 @@ def test_serve_family_checkpoint_bmp_upload(family_ckpt, tmp_path):
     finally:
         server.shutdown()
         engine.stop()
+
+
+def test_jpeg_input_classify(family_ckpt, tmp_path, capsys):
+    """JPEG/PNG inputs decode via PIL with the same BGR contract as the
+    BMP decoder; classify CLI works on a .jpg end to end."""
+    from PIL import Image
+
+    from qcnn_tpu.cli import main
+    from qcnn_tpu.preproc import TorchPreprocessor, read_image
+
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    jpg = str(tmp_path / "img.jpg")
+    Image.fromarray(rgb).save(jpg, quality=95)
+    png = str(tmp_path / "img.png")
+    Image.fromarray(rgb).save(png)
+
+    # PNG is lossless: decoded BGR must equal the source exactly
+    bgr = read_image(png)
+    np.testing.assert_array_equal(bgr, rgb[..., ::-1].astype(np.float32))
+
+    # load_batch mixes formats transparently (native path is BMP-only and
+    # must route around itself)
+    bmp = str(tmp_path / "img.bmp")
+    _write_bmp(bmp, rgb)
+    pre = TorchPreprocessor.imagenet(crop=64, resize=72)
+    out = pre.load_batch([bmp, jpg, png])
+    assert out.shape == (3, 64, 64, 3)
+    np.testing.assert_allclose(out[0], out[2], atol=1e-5)  # bmp == png
+
+    assert main(["classify", "--checkpoint", family_ckpt, jpg,
+                 "--top-k", "2"]) == 0
+    assert "img.jpg:" in capsys.readouterr().out
+
+
+def test_serve_jpeg_upload(family_ckpt, tmp_path):
+    import json
+    import urllib.request
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from qcnn_tpu.cli import family_engine_from_checkpoint
+    from qcnn_tpu.serve.engine import EngineConfig
+    from qcnn_tpu.serve.http import serve as http_serve
+
+    engine, pre, names = family_engine_from_checkpoint(
+        family_ckpt, EngineConfig(max_batch=2, max_wait_ms=5.0),
+        compute_dtype=jnp.float32,
+    )
+    engine.start()
+    server = http_serve(engine, host="127.0.0.1", port=0, block=False,
+                        preprocessor=pre, class_names=names)
+    port = server.server_address[1]
+    try:
+        rgb = np.random.default_rng(10).integers(
+            0, 256, (240, 240, 3), dtype=np.uint8)
+        jpg = tmp_path / "up.jpg"
+        Image.fromarray(rgb).save(str(jpg), quality=90)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/classify",
+            data=jpg.read_bytes(), method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert len(out["class_ids"]) == 5
+    finally:
+        server.shutdown()
+        engine.stop()

@@ -132,13 +132,17 @@ def test_torch_transform_parity(bmps, native_lib):
 
 
 def test_torch_transform_hostile_input(native_lib):
-    """Hostile/truncated BMPs count as per-image failures (error), never
-    crashes — same contract as the Caffe-path batch entry point."""
+    """Hostile/truncated inputs raise ValueError, never crash: BMP-tagged
+    blobs fail in the native decoder (same contract as the Caffe-path
+    entry point); non-BMP garbage fails in the PIL route."""
     from qcnn_tpu.preproc.pipeline import TorchPreprocessor
 
     pre = TorchPreprocessor.imagenet()
     with pytest.raises(ValueError, match="failed native decode"):
-        pre.process_blobs([b"not a bmp", _bmp_with_dims(2**31 - 1, 40)])
+        pre.process_blobs([_bmp_with_dims(2**31 - 1, 40),
+                           _bmp_with_dims(100, 100, b"\0" * 8)])
+    with pytest.raises(ValueError, match="undecodable image"):
+        pre.process_blobs([b"not an image at all"])
 
 
 def test_torch_transform_orientations(native_lib, rng):
