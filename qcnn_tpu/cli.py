@@ -191,7 +191,10 @@ def cmd_eval(args) -> int:
         from qcnn_tpu.formats.reference_codec import read_bin_batches
         from qcnn_tpu.eval.harness import evaluate_dataset
 
-        labels = read_bin(labl_path, np.uint16).reshape(-1)[: args.limit]
+        # --limit 0 = unlimited (matches the streaming generator below)
+        labels = read_bin(labl_path, np.uint16).reshape(-1)
+        if args.limit:
+            labels = labels[: args.limit]
 
         def batches():
             # stream the (500 MB at full size) val blob in batch-row chunks,
@@ -220,7 +223,9 @@ def cmd_eval(args) -> int:
     log(f"dataset blob not found at {data_path}; evaluating shipped BMPs")
     bmps = sorted(
         glob.glob(os.path.join(args.reference_dir, "Bmp.Files", "*.BMP"))
-    )[: args.limit]
+    )
+    if args.limit:
+        bmps = bmps[: args.limit]
     if not bmps:
         log("no BMP files found either — nothing to evaluate")
         return 1
@@ -612,12 +617,22 @@ def cmd_serve(args) -> int:
     from qcnn_tpu.serve.engine import BatchingEngine, EngineConfig
     from qcnn_tpu.serve.http import serve as http_serve
 
+    manifest = None
+    if args.checkpoint:
+        with open(os.path.join(args.checkpoint, "manifest.json")) as f:
+            manifest = json.load(f)
     max_batch = args.max_batch
     if not max_batch:
         # Measured serving defaults (KERNEL_STUDIES §11): ViT throughput
         # peaks at small batch (3.3k img/s at 8, cliff past 32 — the f32
-        # attention-logits working set); CNNs keep scaling to 64+.
-        max_batch = 32 if args.model.startswith("vit") else 64
+        # attention-logits working set); CNNs keep scaling to 64+. For a
+        # checkpoint, the family in its manifest decides (args.model stays
+        # at its default and must not).
+        is_vit = (
+            manifest.get("family") == "vit" if manifest is not None
+            else args.model.startswith("vit")
+        )
+        max_batch = 32 if is_vit else 64
     config = EngineConfig(
         max_batch=max_batch, max_wait_ms=args.max_wait_ms,
         max_queue=args.max_queue, deadline_ms=args.deadline_ms
@@ -625,10 +640,6 @@ def cmd_serve(args) -> int:
     preprocessor = None
     class_names = None
     if args.checkpoint:
-        import json as _json
-
-        with open(os.path.join(args.checkpoint, "manifest.json")) as f:
-            manifest = _json.load(f)
         if "family" in manifest:
             engine, preprocessor, class_names = family_engine_from_checkpoint(
                 args.checkpoint, config, memory_mode=args.memory_mode
@@ -651,10 +662,9 @@ def cmd_serve(args) -> int:
                 class_names = load_class_names(names_path)
     elif args.model in _FAMILY_MODELS:
         # family models: synthetic PQ weights (no pretrained checkpoints
-        # ship offline); serves raw preprocessed tensors via X-Shape
-        if args.memory_mode:
-            log("[WARN] --memory-mode applies to linear-spec models only; "
-                "family model serves decode-at-load")
+        # ship offline); serves raw preprocessed tensors via X-Shape.
+        # --memory-mode is honored: prepare_params(memory=True) keeps only
+        # compressed params resident (in-step decode).
         if args.model.startswith("resnet"):
             from qcnn_tpu.models import resnet as fam
 

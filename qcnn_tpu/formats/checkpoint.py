@@ -104,17 +104,25 @@ _ORBAX_DIR = "params_ts"
 
 
 def _write_arrays(path: str, arrays: dict, store: str) -> None:
-    if store == "npz":
-        np.savez_compressed(os.path.join(path, "params.npz"), **arrays)
-    elif store == "orbax":
-        import shutil
+    # remove the OTHER store's artifact too: re-saving into an existing
+    # checkpoint dir with a different --store must not leave a stale copy
+    # behind (_read_arrays prefers params.npz, so a stale one would win)
+    import shutil
 
+    npz = os.path.join(path, "params.npz")
+    ts = os.path.abspath(os.path.join(path, _ORBAX_DIR))
+    if store == "npz":
+        if os.path.isdir(ts):
+            shutil.rmtree(ts)
+        np.savez_compressed(npz, **arrays)
+    elif store == "orbax":
         import orbax.checkpoint as ocp
 
-        target = os.path.abspath(os.path.join(path, _ORBAX_DIR))
-        if os.path.exists(target):  # orbax refuses to overwrite
-            shutil.rmtree(target)
-        ocp.PyTreeCheckpointer().save(target, arrays)
+        if os.path.exists(npz):
+            os.remove(npz)
+        if os.path.exists(ts):  # orbax refuses to overwrite
+            shutil.rmtree(ts)
+        ocp.PyTreeCheckpointer().save(ts, arrays)
     else:
         raise ValueError(f"unknown array store {store!r}")
 

@@ -31,7 +31,7 @@ from typing import Union
 
 import numpy as np
 
-from qcnn_tpu.formats.caffe_pb import _iter_fields
+from qcnn_tpu.formats.caffe_pb import _iter_fields, _read_varint
 
 _LEN = 2
 _FLOAT = 1  # TensorProto.DataType.FLOAT
@@ -55,14 +55,7 @@ def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
             if wire == _LEN:  # packed repeated int64
                 i = 0
                 while i < len(val):
-                    d, shift = 0, 0
-                    while True:
-                        b = val[i]
-                        i += 1
-                        d |= (b & 0x7F) << shift
-                        if not b & 0x80:
-                            break
-                        shift += 7
+                    d, i = _read_varint(val, i)  # ValueError on truncation
                     dims.append(d)
             else:
                 dims.append(int(val))

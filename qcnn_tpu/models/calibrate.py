@@ -53,6 +53,10 @@ def calibrate_act_scales(
         )
 
     _, amax = jax.jit(run)(params, jnp.asarray(x_calib))
+    # floor at the dynamic path's epsilon: a layer whose calibration input
+    # is all zeros (ReLU-dead on the calib batch) must not get scale 0 —
+    # x/0 at serving time would NaN the layer instead of quantizing
     return {
-        i: float(np.asarray(v)) * margin / 127.0 for i, v in amax.items()
+        i: max(float(np.asarray(v)), 1e-12) * margin / 127.0
+        for i, v in amax.items()
     }

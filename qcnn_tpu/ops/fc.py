@@ -37,7 +37,11 @@ def quantize_activations_int8(
         amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12)
         scale = amax / 127.0
     else:
-        scale = jnp.asarray(act_scale, jnp.float32)
+        # same epsilon floor as the dynamic branch: a zero static scale
+        # (all-dead calibration layer from an old sidecar) must quantize
+        # to zeros, not divide to NaN
+        scale = jnp.maximum(jnp.asarray(act_scale, jnp.float32),
+                            1e-12 / 127.0)
     xq = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
     return xq, scale
 

@@ -168,17 +168,22 @@ class Preprocessor:
         return self(read_image(bmp_path))[None]
 
     def load_batch(self, bmp_paths, native: str = "auto") -> np.ndarray:
-        """Batch BMP -> (N, crop_h, crop_w, 3). native='auto' uses the
+        """Batch images -> (N, crop_h, crop_w, 3). native='auto' uses the
         threaded C++ pipeline (preproc/native/imgproc.cc) when it compiles,
-        'never' forces the NumPy path, 'require' errors without it."""
+        'never' forces the NumPy path, 'require' errors when the native
+        library is unavailable (non-BMP inputs always take the PIL route —
+        there is no native decoder for them)."""
+        if native == "never":
+            return np.stack([self(read_image(p)) for p in bmp_paths])
         blobs = [open(p, "rb").read() for p in bmp_paths]
-        if native != "never" and all(b[:2] == b"BM" for b in blobs):
-            out = self.process_blobs(blobs, require=(native == "require"))
-            if out is not None:
-                return out
-            if native == "require":
-                raise RuntimeError("native imgproc unavailable")
-        return np.stack([self(read_image(p)) for p in bmp_paths])
+        out = self.process_blobs(blobs, require=(native == "require"))
+        if out is not None:
+            return out
+        if native == "require":
+            raise RuntimeError("native imgproc unavailable")
+        from qcnn_tpu.preproc.bmp import decode_image
+
+        return np.stack([self(decode_image(b)) for b in blobs])
 
     def process_blobs(self, blobs, require: bool = False):
         """Image byte blobs -> (N, crop_h, crop_w, 3): the C++ pipeline for

@@ -182,3 +182,32 @@ class TestFamilyCheckpoint:
         assert family == "vit" and spec2 == spec
         with pytest.raises(ValueError, match="family checkpoint"):
             load_checkpoint(path)
+
+
+def test_resave_with_different_store_removes_stale_arrays(tmp_path):
+    """Re-saving into an existing dir with the other --store must not
+    leave the previous store's arrays behind (load prefers params.npz, so
+    a stale npz would silently serve the OLD weights)."""
+    import numpy as np
+
+    from qcnn_tpu.core import FCSpec, ModelSpec, SoftmaxSpec, dense_fc_params
+    from qcnn_tpu.formats.checkpoint import load_checkpoint, save_checkpoint
+
+    spec = ModelSpec(name="st", in_height=2, in_width=2, in_channels=2,
+                     layers=(FCSpec(3), SoftmaxSpec()))
+
+    def params(val):
+        return [dense_fc_params(
+            np.full((8, 3), val, np.float32), np.zeros(3, np.float32)
+        ), None]
+
+    out = str(tmp_path / "ck")
+    save_checkpoint(out, spec, params(1.0), store="npz")
+    save_checkpoint(out, spec, params(2.0), store="orbax")
+    _, back = load_checkpoint(out)
+    np.testing.assert_array_equal(back[0]["weight"],
+                                  np.full((8, 3), 2.0, np.float32))
+    save_checkpoint(out, spec, params(3.0), store="npz")
+    _, back = load_checkpoint(out)
+    np.testing.assert_array_equal(back[0]["weight"],
+                                  np.full((8, 3), 3.0, np.float32))

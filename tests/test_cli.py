@@ -278,3 +278,14 @@ def test_eval_from_checkpoint(tmp_path, reference_dir, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "ACCURACY@1" in out
+
+
+def test_eval_limit_zero_means_unlimited(reference_dir, capsys):
+    """--limit 0 must evaluate everything (shipped-BMP fallback path), not
+    crash on an empty slice (round-2 review)."""
+    from qcnn_tpu.cli import main
+
+    assert main(["eval", "--reference-dir", reference_dir,
+                 "--limit", "0"]) == 0
+    out = capsys.readouterr().out
+    assert "ACCURACY@1:" in out

@@ -161,3 +161,13 @@ def test_onnx_truncated_real_model_raises():
     for cut in (len(blob) // 3, len(blob) - 7):
         with pytest.raises(ValueError):
             import_onnx(blob[:cut], _mini_vgg_spec())
+
+
+def test_onnx_truncated_packed_dims_raises_valueerror():
+    """A TensorProto whose packed dims payload ends mid-varint must raise
+    ValueError (the shared _read_varint guard), not IndexError."""
+    bad_tensor = _len_field(1, b"\x80")  # dims: continuation byte, no end
+    graph = _len_field(5, bad_tensor)
+    model = _key(1, _VARINT) + _write_varint(7) + _len_field(7, graph)
+    with pytest.raises(ValueError):
+        import_onnx(model, _mini_vgg_spec())

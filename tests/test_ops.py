@@ -308,3 +308,20 @@ class TestSpaceToDepthConv:
         )
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_int8_static_scale_zero_floor():
+    """A zero static activation scale (all-ReLU-dead calibration layer)
+    must quantize to zeros, never divide to NaN (round-2 review)."""
+    import jax.numpy as jnp
+
+    from qcnn_tpu.ops.fc import quantize_activations_int8
+
+    x = jnp.asarray(np.zeros((2, 8), np.float32))
+    xq, scale = quantize_activations_int8(x, act_scale=0.0)
+    assert np.all(np.isfinite(np.asarray(scale)))
+    np.testing.assert_array_equal(np.asarray(xq), 0)
+    # nonzero input with a zero scale still saturates finitely
+    x2 = jnp.asarray(np.ones((2, 8), np.float32))
+    xq2, _ = quantize_activations_int8(x2, act_scale=0.0)
+    assert np.all(np.abs(np.asarray(xq2)) <= 127)

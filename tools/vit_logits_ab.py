@@ -68,8 +68,11 @@ def main() -> int:
     # numerics: probs delta + top-1 agreement on one batch
     x = rng.standard_normal(
         (16, spec.image_size, spec.image_size, 3)).astype(np.float32)
+    # explicit f32 logits: the default now FOLLOWS compute_dtype (bf16
+    # here), so omitting attn_logits_dtype would compare bf16 to itself
     p32 = np.asarray(jax.nn.softmax(fam.forward(
-        prepared, x, spec=spec, compute_dtype=jnp.bfloat16), axis=-1))
+        prepared, x, spec=spec, compute_dtype=jnp.bfloat16,
+        attn_logits_dtype=jnp.float32), axis=-1))
     p16 = np.asarray(jax.nn.softmax(fam.forward(
         prepared, x, spec=spec, compute_dtype=jnp.bfloat16,
         attn_logits_dtype=jnp.bfloat16), axis=-1))
