@@ -31,10 +31,21 @@ _FAMILY_MODELS = ("resnet18", "resnet50", "resnet101", "resnet152",
 def _impl_kwargs(args) -> dict:
     """--memory-mode -> keep only compressed PQ params resident (in-step
     one-hot decode, KERNEL_STUDIES §9b: ~21x less weight HBM for ~13%
-    throughput at batch 256)."""
+    throughput at batch 256); --dtype -> execution dtype (int8 = weight
+    mode with bf16 activations, the measured latency winner)."""
+    kw = {}
     if getattr(args, "memory_mode", False):
-        return {"conv_impl": "memory", "fc_impl": "memory"}
-    return {}
+        kw.update(conv_impl="memory", fc_impl="memory")
+    if getattr(args, "dtype", None):
+        kw["compute_dtype"] = _dtype_arg(args.dtype)
+    return kw
+
+
+def _dtype_arg(name: str):
+    import jax.numpy as jnp
+
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "int8": jnp.int8}[name]
 
 
 def cmd_classify(args) -> int:
@@ -44,9 +55,10 @@ def cmd_classify(args) -> int:
         with open(os.path.join(args.checkpoint, "manifest.json")) as f:
             manifest = json.load(f)
         if "family" in manifest:
-            clf = FamilyClassifier.from_checkpoint(
-                args.checkpoint, memory=bool(args.memory_mode)
-            )
+            fkw = {"memory": bool(args.memory_mode)}
+            if getattr(args, "dtype", None):
+                fkw["compute_dtype"] = _dtype_arg(args.dtype)
+            clf = FamilyClassifier.from_checkpoint(args.checkpoint, **fkw)
         else:
             clf = Classifier.from_checkpoint(
                 args.checkpoint, **_impl_kwargs(args)
@@ -110,9 +122,10 @@ def cmd_eval(args) -> int:
         with open(os.path.join(args.checkpoint, "manifest.json")) as f:
             is_family = "family" in json.load(f)
         if is_family:
-            clf = FamilyClassifier.from_checkpoint(
-                args.checkpoint, memory=bool(args.memory_mode)
-            )
+            fkw = {"memory": bool(args.memory_mode)}
+            if getattr(args, "dtype", None):
+                fkw["compute_dtype"] = _dtype_arg(args.dtype)
+            clf = FamilyClassifier.from_checkpoint(args.checkpoint, **fkw)
         else:
             clf = Classifier.from_checkpoint(
                 args.checkpoint, **_impl_kwargs(args)
@@ -642,7 +655,10 @@ def cmd_serve(args) -> int:
     if args.checkpoint:
         if "family" in manifest:
             engine, preprocessor, class_names = family_engine_from_checkpoint(
-                args.checkpoint, config, memory_mode=args.memory_mode
+                args.checkpoint, config, memory_mode=args.memory_mode,
+                compute_dtype=(
+                    _dtype_arg(args.dtype) if args.dtype else None
+                ),
             )
             engine.start()
         else:
@@ -832,6 +848,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--memory-mode", action="store_true",
                    help="keep only compressed PQ params resident "
                         "(in-step decode; ~21x less weight HBM)")
+    c.add_argument("--dtype", default=None,
+                   choices=["bfloat16", "float32", "int8"],
+                   help="execution dtype (default: bf16 on TPU, f32 "
+                        "elsewhere; int8 = weight mode with bf16 activations)")
     c.set_defaults(fn=cmd_classify)
 
     e = sub.add_parser("eval", help="dataset accuracy")
@@ -852,6 +872,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="image-labels file ('<stem> <class id>' per line) "
                         "for --images; defaults to the reference's "
                         "Cls.Names/image_labels.txt")
+    e.add_argument("--dtype", default=None,
+                   choices=["bfloat16", "float32", "int8"],
+                   help="execution dtype (default: bf16 on TPU, f32 "
+                        "elsewhere; int8 = weight mode with bf16 activations)")
     e.set_defaults(fn=cmd_eval)
 
     cal = sub.add_parser(
@@ -968,6 +992,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--deadline-ms", type=float, default=0.0,
                    help="default per-request deadline; expired requests "
                         "get 504 without spending a batch slot (0 = none)")
+    s.add_argument("--dtype", default=None,
+                   choices=["bfloat16", "float32", "int8"],
+                   help="execution dtype (default: bf16 on TPU, f32 "
+                        "elsewhere; int8 = weight mode with bf16 activations)")
     s.set_defaults(fn=cmd_serve)
 
     rt = sub.add_parser("route",

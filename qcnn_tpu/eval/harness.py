@@ -247,13 +247,20 @@ class FamilyClassifier(_ClassifierBase):
                 jnp.bfloat16 if jax.default_backend() == "tpu"
                 else jnp.float32
             )
+        # int8 selects the WEIGHT representation; activations stay bf16
+        # between layers (same rule as Classifier above — int8 activations
+        # would astype-truncate the residual stream)
+        act_dtype = (
+            jnp.bfloat16 if compute_dtype in (jnp.int8, "int8")
+            else compute_dtype
+        )
         fam = __import__(f"qcnn_tpu.models.{family}", fromlist=[family])
         self.params = jax.device_put(
             fam.prepare_params(spec, params, dtype=compute_dtype,
                                memory=memory)
         )
         self._fwd = jax.jit(functools.partial(
-            fam.forward, spec=spec, compute_dtype=compute_dtype,
+            fam.forward, spec=spec, compute_dtype=act_dtype,
             with_softmax=True,
         ))
 

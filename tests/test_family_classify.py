@@ -280,3 +280,21 @@ def test_serve_jpeg_upload(family_ckpt, tmp_path):
     finally:
         server.shutdown()
         engine.stop()
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_classify_dtype_flag(family_ckpt, tmp_path, capsys, dtype):
+    """--dtype reaches the family path; int8 = weight mode with bf16
+    activations (predictions stay finite probabilities)."""
+    from qcnn_tpu.cli import main
+
+    bmp = str(tmp_path / "img.bmp")
+    _write_bmp(bmp, np.random.default_rng(11).integers(
+        0, 256, (230, 230, 3), dtype=np.uint8))
+    assert main(["classify", "--checkpoint", family_ckpt, bmp,
+                 "--top-k", "3", "--dtype", dtype]) == 0
+    out = capsys.readouterr().out
+    probs = [float(ln.split()[0]) for ln in out.splitlines()
+             if ln.startswith("  ") and not ln.startswith("  ground")]
+    assert len(probs) == 3
+    assert all(0.0 <= p <= 1.0 for p in probs)
