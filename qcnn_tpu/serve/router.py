@@ -60,7 +60,8 @@ class Router:
                 req = urllib.request.Request(
                     backend.url + path, data=body, method=method,
                     headers={k: v for k, v in headers.items()
-                             if k.lower() in ("x-shape", "content-type")},
+                             if k.lower() in ("x-shape", "x-deadline-ms",
+                                              "content-type")},
                 )
                 with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
                     return r.status, r.read()

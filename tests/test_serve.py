@@ -416,3 +416,44 @@ class TestRouter:
         finally:
             router_srv.shutdown()
             srv.shutdown()
+
+
+def test_router_forwards_deadline_header():
+    """X-Deadline-Ms must pass through the router to the backend (the
+    engine's per-request deadline contract)."""
+    import http.server
+    import threading
+    import urllib.request
+
+    from qcnn_tpu.serve.router import serve_router
+
+    seen = {}
+
+    class Echo(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            seen["deadline"] = self.headers.get("X-Deadline-Ms")
+            body = json.dumps({"ok": True}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    backend = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Echo)
+    threading.Thread(target=backend.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{backend.server_address[1]}"
+    router_srv = serve_router([url], port=0, block=False)
+    rport = router_srv.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{rport}/classify", data=b"x",
+            method="POST", headers={"X-Deadline-Ms": "1500"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())["ok"]
+        assert seen["deadline"] == "1500"
+    finally:
+        router_srv.shutdown()
+        backend.shutdown()
