@@ -48,6 +48,14 @@ def _dtype_arg(name: str):
             "int8": jnp.int8}[name]
 
 
+def _family_kwargs(args) -> dict:
+    """FamilyClassifier kwargs from the shared CLI flags (classify/eval)."""
+    kw = {"memory": bool(getattr(args, "memory_mode", False))}
+    if getattr(args, "dtype", None):
+        kw["compute_dtype"] = _dtype_arg(args.dtype)
+    return kw
+
+
 def cmd_classify(args) -> int:
     from qcnn_tpu.eval.harness import Classifier, FamilyClassifier
 
@@ -55,10 +63,9 @@ def cmd_classify(args) -> int:
         with open(os.path.join(args.checkpoint, "manifest.json")) as f:
             manifest = json.load(f)
         if "family" in manifest:
-            fkw = {"memory": bool(args.memory_mode)}
-            if getattr(args, "dtype", None):
-                fkw["compute_dtype"] = _dtype_arg(args.dtype)
-            clf = FamilyClassifier.from_checkpoint(args.checkpoint, **fkw)
+            clf = FamilyClassifier.from_checkpoint(
+                args.checkpoint, **_family_kwargs(args)
+            )
         else:
             clf = Classifier.from_checkpoint(
                 args.checkpoint, **_impl_kwargs(args)
@@ -122,10 +129,9 @@ def cmd_eval(args) -> int:
         with open(os.path.join(args.checkpoint, "manifest.json")) as f:
             is_family = "family" in json.load(f)
         if is_family:
-            fkw = {"memory": bool(args.memory_mode)}
-            if getattr(args, "dtype", None):
-                fkw["compute_dtype"] = _dtype_arg(args.dtype)
-            clf = FamilyClassifier.from_checkpoint(args.checkpoint, **fkw)
+            clf = FamilyClassifier.from_checkpoint(
+                args.checkpoint, **_family_kwargs(args)
+            )
         else:
             clf = Classifier.from_checkpoint(
                 args.checkpoint, **_impl_kwargs(args)
@@ -589,27 +595,34 @@ def family_engine_from_checkpoint(path: str, config,
     tensors remain accepted). The engine is returned un-started."""
     import functools
 
+    import jax
     import jax.numpy as jnp
     import ml_dtypes
 
     from qcnn_tpu.formats.checkpoint import (
         load_family_checkpoint, load_preprocessor,
     )
+    from qcnn_tpu.models.prepare import act_dtype_for
     from qcnn_tpu.serve.engine import BatchingEngine
 
     family, spec, params = load_family_checkpoint(path)
     fam = __import__(f"qcnn_tpu.models.{family}", fromlist=[family])
     if compute_dtype is None:
-        compute_dtype = jnp.bfloat16
+        compute_dtype = (
+            jnp.bfloat16 if jax.default_backend() == "tpu"
+            else jnp.float32
+        )
+    # int8 = weight representation only; the forward must run bf16
+    # activations (raw int8 compute_dtype would astype-truncate them)
+    act_dtype = act_dtype_for(compute_dtype)
     prepared = fam.prepare_params(spec, params, dtype=compute_dtype,
                                   memory=memory_mode)
     size = spec.in_size if family == "resnet" else spec.image_size
     fwd = functools.partial(
-        fam.forward, spec=spec, compute_dtype=compute_dtype,
+        fam.forward, spec=spec, compute_dtype=act_dtype,
         with_softmax=True,
     )
-    upload = (ml_dtypes.bfloat16 if compute_dtype == jnp.bfloat16
-              else None)
+    upload = (ml_dtypes.bfloat16 if act_dtype == jnp.bfloat16 else None)
     engine = BatchingEngine.from_forward(
         fwd, prepared, (size, size, 3), config=config,
         upload_dtype=upload,
@@ -691,19 +704,30 @@ def cmd_serve(args) -> int:
 
             spec = fam.VITS[args.model]()
             size = spec.image_size
-        pq = fam.quantize_params(spec, fam.init_dense_params(spec, seed=0))
-        prepared = fam.prepare_params(spec, pq, memory=args.memory_mode)
+        import jax
         import jax.numpy as jnp
-
-        fwd = functools.partial(
-            fam.forward, spec=spec, compute_dtype=jnp.bfloat16,
-            with_softmax=True,
-        )
         import ml_dtypes
 
+        from qcnn_tpu.models.prepare import act_dtype_for
+
+        compute_dtype = (
+            _dtype_arg(args.dtype) if args.dtype else (
+                jnp.bfloat16 if jax.default_backend() == "tpu"
+                else jnp.float32
+            )
+        )
+        act_dtype = act_dtype_for(compute_dtype)
+        pq = fam.quantize_params(spec, fam.init_dense_params(spec, seed=0))
+        prepared = fam.prepare_params(spec, pq, dtype=compute_dtype,
+                                      memory=args.memory_mode)
+        fwd = functools.partial(
+            fam.forward, spec=spec, compute_dtype=act_dtype,
+            with_softmax=True,
+        )
         engine = BatchingEngine.from_forward(
             fwd, prepared, (size, size, 3), config=config,
-            upload_dtype=ml_dtypes.bfloat16,
+            upload_dtype=(ml_dtypes.bfloat16
+                          if act_dtype == jnp.bfloat16 else None),
         ).start()
     else:
         from qcnn_tpu.eval.harness import Classifier

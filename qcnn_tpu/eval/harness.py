@@ -141,10 +141,9 @@ class Classifier(_ClassifierBase):
             )
         # int8 selects the weight representation; activations stay bf16 and
         # are quantized dynamically inside the int8 ops.
-        act_dtype = (
-            jnp.bfloat16 if compute_dtype in (jnp.int8, "int8")
-            else compute_dtype
-        )
+        from qcnn_tpu.models.prepare import act_dtype_for
+
+        act_dtype = act_dtype_for(compute_dtype)
         # Prepare once (decode-at-load): at batch 1 the auto onehot FC path
         # materializes GB-scale one-hot intermediates and is never the right
         # default for serving.
@@ -247,13 +246,9 @@ class FamilyClassifier(_ClassifierBase):
                 jnp.bfloat16 if jax.default_backend() == "tpu"
                 else jnp.float32
             )
-        # int8 selects the WEIGHT representation; activations stay bf16
-        # between layers (same rule as Classifier above — int8 activations
-        # would astype-truncate the residual stream)
-        act_dtype = (
-            jnp.bfloat16 if compute_dtype in (jnp.int8, "int8")
-            else compute_dtype
-        )
+        from qcnn_tpu.models.prepare import act_dtype_for
+
+        act_dtype = act_dtype_for(compute_dtype)
         fam = __import__(f"qcnn_tpu.models.{family}", fromlist=[family])
         self.params = jax.device_put(
             fam.prepare_params(spec, params, dtype=compute_dtype,

@@ -47,6 +47,18 @@ def _is_int8(dtype) -> bool:
     return dtype in (jnp.int8, np.int8, "int8")
 
 
+def act_dtype_for(compute_dtype):
+    """The inter-layer ACTIVATION dtype for a requested execution dtype:
+    int8 selects the weight representation only — activations must stay
+    bf16 (an int8 activation cast astype-truncates normalized inputs and
+    the residual stream to garbage). Every entry point that accepts a
+    compute dtype (Classifier, FamilyClassifier, the serving engines)
+    routes through this one rule."""
+    if compute_dtype is not None and _is_int8(compute_dtype):
+        return jnp.bfloat16
+    return compute_dtype
+
+
 def _quantize_weight_int8(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Per-output-channel (last axis) symmetric int8: w ≈ w_q * scale."""
     amax = np.maximum(np.abs(w).max(axis=tuple(range(w.ndim - 1))), 1e-12)

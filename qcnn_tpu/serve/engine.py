@@ -154,10 +154,9 @@ class BatchingEngine:
                 jnp.bfloat16 if jax.default_backend() == "tpu"
                 else jnp.float32
             )
-        act_dtype = (
-            jnp.bfloat16 if compute_dtype in (jnp.int8, "int8")
-            else compute_dtype
-        )
+        from qcnn_tpu.models.prepare import act_dtype_for
+
+        act_dtype = act_dtype_for(compute_dtype)
         # Cast batches to the activation dtype on the HOST before upload:
         # the forward's first op is that exact cast anyway, and on a
         # tunneled rig the host->device stream is the serving bottleneck

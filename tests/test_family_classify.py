@@ -282,19 +282,26 @@ def test_serve_jpeg_upload(family_ckpt, tmp_path):
         engine.stop()
 
 
-@pytest.mark.parametrize("dtype", ["float32", "int8"])
-def test_classify_dtype_flag(family_ckpt, tmp_path, capsys, dtype):
-    """--dtype reaches the family path; int8 = weight mode with bf16
-    activations (predictions stay finite probabilities)."""
+def test_classify_dtype_flag(family_ckpt, tmp_path, capsys):
+    """--dtype int8 = weight mode with bf16 ACTIVATIONS: predictions must
+    agree with --dtype float32 on the same image (raw int8 activations
+    would truncate the residual stream to garbage that still looks like a
+    valid softmax — so assert agreement, not just well-formedness)."""
     from qcnn_tpu.cli import main
 
     bmp = str(tmp_path / "img.bmp")
     _write_bmp(bmp, np.random.default_rng(11).integers(
         0, 256, (230, 230, 3), dtype=np.uint8))
-    assert main(["classify", "--checkpoint", family_ckpt, bmp,
-                 "--top-k", "3", "--dtype", dtype]) == 0
-    out = capsys.readouterr().out
-    probs = [float(ln.split()[0]) for ln in out.splitlines()
-             if ln.startswith("  ") and not ln.startswith("  ground")]
-    assert len(probs) == 3
-    assert all(0.0 <= p <= 1.0 for p in probs)
+    tops = {}
+    for dtype in ("float32", "int8"):
+        assert main(["classify", "--checkpoint", family_ckpt, bmp,
+                     "--top-k", "3", "--dtype", dtype]) == 0
+        out = capsys.readouterr().out
+        rows = [ln.split() for ln in out.splitlines()
+                if ln.startswith("  ") and not ln.startswith("  ground")]
+        assert len(rows) == 3
+        assert all(0.0 <= float(r[0]) <= 1.0 for r in rows)
+        tops[dtype] = [int(r[1]) for r in rows]
+    # int8 weight quantization is near-lossless at these magnitudes:
+    # top-1 must agree with f32
+    assert tops["int8"][0] == tops["float32"][0], tops
