@@ -55,9 +55,9 @@ from qcnn_tpu.ops import (
 # dense weight INSIDE the jitted step (dense copy is a per-layer transient,
 # never stored); "memory" picks the best measured memory-mode kernel per
 # layer geometry and batch (docs/KERNEL_STUDIES.md §9).
-CONV_IMPLS = ("decode", "indecode", "lut", "memory")
-FC_IMPLS = ("onehot", "gather", "decode", "indecode", "pallas", "fused",
-            "memory")
+CONV_IMPLS = ("decode", "indecode", "gdecode", "lut", "memory")
+FC_IMPLS = ("onehot", "gather", "decode", "indecode", "gdecode", "pallas",
+            "fused", "memory")
 
 
 def _memory_fc_impl(p: dict, batch: int) -> str:

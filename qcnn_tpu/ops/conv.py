@@ -159,11 +159,14 @@ def pq_conv_decode(
     ('indecode') memory-mode configuration, where the gather lowering is
     hopeless on TPU (KERNEL_STUDIES §9b)."""
     cin_per_group = x.shape[-1] // groups
-    decode = (
-        lut_ops.decode_conv_kernel_onehot
-        if via == "onehot"
-        else lut_ops.decode_conv_kernel
-    )
+    if via == "onehot":
+        decode = lut_ops.decode_conv_kernel_onehot
+    elif via == "gdecode":
+        from qcnn_tpu.ops.pallas import decode_conv_kernel_gather
+
+        decode = decode_conv_kernel_gather
+    else:
+        decode = lut_ops.decode_conv_kernel
     kernel = decode(
         params["codebooks"], params["assignments"], cin_per_group
     )
@@ -231,6 +234,11 @@ def pq_conv(
         # is a per-layer transient (one-hot MXU decode)
         return pq_conv_decode(
             x, params, stride=stride, pad=pad, groups=groups, via="onehot"
+        )
+    if impl == "gdecode":
+        # in-step decode via the Pallas dynamic-gather kernel
+        return pq_conv_decode(
+            x, params, stride=stride, pad=pad, groups=groups, via="gdecode"
         )
     if impl == "lut":
         return pq_conv_lut(x, params, stride=stride, pad=pad, groups=groups)

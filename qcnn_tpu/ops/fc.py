@@ -116,6 +116,18 @@ def pq_fc_indecode(x: jax.Array, params: dict) -> jax.Array:
     return fc_dense(x, w, params["bias"])
 
 
+def pq_fc_gdecode(x: jax.Array, params: dict) -> jax.Array:
+    """Memory-mode PQ FC: in-step decode via the Pallas dynamic-gather
+    kernel (ops/pallas/pq_decode.py) then the dense GEMM — ~1 VPU op per
+    decoded weight element vs the one-hot decode's K/D-fold MXU MACs."""
+    from qcnn_tpu.ops.pallas import decode_fc_weight_gather
+
+    w = decode_fc_weight_gather(
+        params["codebooks"], params["assignments"], x.shape[-1]
+    )
+    return fc_dense(x, w, params["bias"])
+
+
 def pq_fc(x: jax.Array, params: dict, impl: str = "onehot") -> jax.Array:
     if impl == "onehot":
         return pq_fc_onehot(x, params)
@@ -125,6 +137,8 @@ def pq_fc(x: jax.Array, params: dict, impl: str = "onehot") -> jax.Array:
         return pq_fc_decode(x, params)
     if impl == "indecode":
         return pq_fc_indecode(x, params)
+    if impl == "gdecode":
+        return pq_fc_gdecode(x, params)
     if impl == "pallas":
         from qcnn_tpu.ops.pallas import pq_fc_pallas
 

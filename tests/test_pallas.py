@@ -194,3 +194,91 @@ def test_lrn_fused_other_betas(rng):
         got = lrn_fused(x, tile_m=16, interpret=True, **kw)
         want = lrn(x, impl="band", **kw)
         assert jnp.all(got == want)
+
+
+@pytest.mark.parametrize(
+    "cout,s,k,d,cin",
+    [
+        (256, 16, 32, 4, 64),    # fc-like, aligned
+        (250, 15, 32, 4, 58),    # ragged everything, Cin < S*D
+        (64, 8, 128, 4, 32),     # ResNet conv geometry: K=128
+        (128, 64, 16, 1, 64),    # scalar sub-spaces
+    ],
+)
+def test_decode_fc_gather_matches_oracle(rng, cout, s, k, d, cin):
+    """The Pallas gather decode must bit-match the jnp gather decode."""
+    from qcnn_tpu.ops import lut
+    from qcnn_tpu.ops.pallas import decode_fc_weight_gather
+
+    cb = rng.standard_normal((s, k, d)).astype(np.float32)
+    asmt = rng.integers(0, k, size=(cout, s), dtype=np.uint8)
+    want = np.asarray(lut.decode_fc_weight(jnp.asarray(cb), asmt, cin))
+    got = np.asarray(
+        decode_fc_weight_gather(jnp.asarray(cb), jnp.asarray(asmt), cin,
+                                interpret=True)
+    )
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize(
+    "cout,kh,kw,s,k,d,cg",
+    [
+        (96, 11, 11, 1, 32, 8, 3),   # AlexNet conv1: overhang (3 < 8)
+        (64, 3, 3, 16, 128, 4, 64),  # ResNet-style 3x3, K=128
+        (40, 1, 1, 9, 16, 4, 36),    # 1x1 projection, ragged Cout
+    ],
+)
+def test_decode_conv_gather_matches_oracle(rng, cout, kh, kw, s, k, d, cg):
+    from qcnn_tpu.ops import lut
+    from qcnn_tpu.ops.pallas import decode_conv_kernel_gather
+
+    cb = rng.standard_normal((s, k, d)).astype(np.float32)
+    asmt = rng.integers(0, k, size=(cout, kh, kw, s), dtype=np.uint8)
+    want = np.asarray(lut.decode_conv_kernel(jnp.asarray(cb), asmt, cg))
+    got = np.asarray(
+        decode_conv_kernel_gather(jnp.asarray(cb), jnp.asarray(asmt), cg,
+                                  interpret=True)
+    )
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)
+
+
+def test_decode_gather_bf16(rng):
+    """bf16 codebooks decode to bf16, bit-identical to the gather oracle."""
+    from qcnn_tpu.ops import lut
+    from qcnn_tpu.ops.pallas import decode_fc_weight_gather
+
+    cb = jnp.asarray(rng.standard_normal((12, 32, 4)), jnp.bfloat16)
+    asmt = rng.integers(0, 32, size=(100, 12), dtype=np.uint8)
+    want = lut.decode_fc_weight(cb, jnp.asarray(asmt), 48)
+    got = decode_fc_weight_gather(cb, jnp.asarray(asmt), 48, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    assert jnp.all(got == want)
+
+
+def test_network_gdecode_matches_decode(rng):
+    """Full tiny network with conv/fc impl='gdecode' (Pallas gather decode,
+    interpret mode on CPU) must match the decode-at-trace path."""
+    from qcnn_tpu.core import (ConvSpec, FCSpec, ModelSpec, ReLUSpec,
+                               SoftmaxSpec)
+    from qcnn_tpu.models import network, synth
+
+    spec = ModelSpec(
+        name="tg", in_height=8, in_width=8, in_channels=4,
+        layers=(
+            ConvSpec(kernel=3, out_channels=16, pad=1),
+            ReLUSpec(),
+            FCSpec(32),
+            ReLUSpec(),
+            FCSpec(10),
+            SoftmaxSpec(),
+        ),
+    )
+    params = synth.random_pq_params(spec, seed=2)
+    x = synth.random_input(spec, 4, seed=3)
+    want = np.asarray(network.forward(params, x, spec=spec,
+                                      conv_impl="decode", fc_impl="decode"))
+    got = np.asarray(network.forward(params, x, spec=spec,
+                                     conv_impl="gdecode", fc_impl="gdecode"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
