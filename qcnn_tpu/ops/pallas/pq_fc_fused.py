@@ -50,7 +50,8 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(xt_ref, cb_ref, asmt_ref, bias_ref, out_ref, *, num_k, d_len):
+def _kernel(xt_ref, cb_ref, asmt_ref, bias_ref, out_ref, *, num_k, d_len,
+            decode):
     """xt (D, Bt, Sg) bf16; cb (K*D, Sg) bf16; asmt (Ct, Sg) int8;
     bias (1, Ct) f32; out (Bt, Ct) f32 accumulated over the S-chunk grid."""
     k_id = pl.program_id(2)
@@ -61,21 +62,33 @@ def _kernel(xt_ref, cb_ref, asmt_ref, bias_ref, out_ref, *, num_k, d_len):
             bias_ref[0, :][None, :], out_ref.shape
         ).astype(jnp.float32)
 
-    # Decode in the 32-bit domain: int32 compare + f32 select, one bf16
-    # conversion per (d, S-chunk) tile before the dot. The two obvious
-    # cheaper formulations hit Mosaic limits or are slower (measured,
-    # KERNEL_STUDIES §9): bf16/int16 equality compares are unsupported on
-    # this target; an all-bf16 arithmetic mask relu(1-|a-k|) compiles but
-    # runs 2.6x slower than compare+select (bf16 VPU ops are not packed
-    # 2x here, and the mask chain is 4 ops vs 1 compare).
-    a = asmt_ref[:].astype(jnp.int32)  # (Ct, Sg)
-    zero = jnp.zeros(a.shape, jnp.float32)
-    w_t = [zero for _ in range(d_len)]
-    for kk in range(num_k):
-        m = a == kk
-        for d in range(d_len):
-            row = cb_ref[kk * d_len + d, :][None, :].astype(jnp.float32)
-            w_t[d] = w_t[d] + jnp.where(m, row, zero)
+    if decode == "gather":
+        # Mosaic tpu.dynamic_gather: one VPU gather per (d, tile) instead
+        # of 2K select-accumulates (KERNEL_STUDIES §9c). Padding lanes hold
+        # index -1 * D: clamp to row 0 — decoded garbage multiplies padded
+        # x lanes, which are zero.
+        idx = jnp.maximum(asmt_ref[:].astype(jnp.int32) * d_len, 0)
+        w_t = [
+            jnp.take_along_axis(cb_ref[:], idx + d, axis=0)
+            for d in range(d_len)
+        ]
+    else:
+        # Decode in the 32-bit domain: int32 compare + f32 select, one bf16
+        # conversion per (d, S-chunk) tile before the dot. The two obvious
+        # cheaper formulations hit Mosaic limits or are slower (measured,
+        # KERNEL_STUDIES §9): bf16/int16 equality compares are unsupported
+        # on this target; an all-bf16 arithmetic mask relu(1-|a-k|)
+        # compiles but runs 2.6x slower than compare+select (bf16 VPU ops
+        # are not packed 2x here, and the mask chain is 4 ops vs 1
+        # compare).
+        a = asmt_ref[:].astype(jnp.int32)  # (Ct, Sg)
+        zero = jnp.zeros(a.shape, jnp.float32)
+        w_t = [zero for _ in range(d_len)]
+        for kk in range(num_k):
+            m = a == kk
+            for d in range(d_len):
+                row = cb_ref[kk * d_len + d, :][None, :].astype(jnp.float32)
+                w_t[d] = w_t[d] + jnp.where(m, row, zero)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for d in range(d_len):
         acc = acc + jax.lax.dot_general(
@@ -87,10 +100,12 @@ def _kernel(xt_ref, cb_ref, asmt_ref, bias_ref, out_ref, *, num_k, d_len):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_b", "block_o", "block_s", "interpret")
+    jax.jit,
+    static_argnames=("block_b", "block_o", "block_s", "interpret", "decode"),
 )
 def _pq_fc_fused(
-    x, codebooks, asmt, bias, *, block_b, block_o, block_s, interpret
+    x, codebooks, asmt, bias, *, block_b, block_o, block_s, interpret,
+    decode="select",
 ):
     b, cin = x.shape
     s, k, d = codebooks.shape
@@ -125,7 +140,7 @@ def _pq_fc_fused(
 
     grid = (b_pad // block_b, o_pad // block_o, s_pad // block_s)
     out = pl.pallas_call(
-        functools.partial(_kernel, num_k=k, d_len=d),
+        functools.partial(_kernel, num_k=k, d_len=d, decode=decode),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -176,6 +191,7 @@ def pq_fc_fused(
     block_o: int = 256,
     block_s: int = 128,
     interpret: bool | None = None,
+    decode: str = "select",
 ) -> jax.Array:
     """PQ FC via the fused decode-GEMM kernel.
 
@@ -185,6 +201,9 @@ def pq_fc_fused(
       block_b: batch tile (default: whole padded batch, min 16 for bf16
         sublanes). block_o/block_s: output-channel / subspace tile sizes.
       interpret: force interpreter mode; default auto (True off-TPU).
+      decode: in-kernel weight-tile decode formulation — "select" (2K
+        select-accumulate passes) or "gather" (Mosaic dynamic gather,
+        KERNEL_STUDIES §9c).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -206,4 +225,5 @@ def pq_fc_fused(
         block_o=block_o,
         block_s=block_s,
         interpret=interpret,
+        decode=decode,
     )

@@ -282,3 +282,28 @@ def test_network_gdecode_matches_decode(rng):
     got = np.asarray(network.forward(params, x, spec=spec,
                                      conv_impl="gdecode", fc_impl="gdecode"))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "b,cin,cout,s,k,d",
+    [
+        (8, 64, 256, 16, 32, 4),
+        (5, 60, 250, 15, 32, 4),   # ragged everything, Cin < S*D
+        (4, 64, 128, 64, 16, 1),   # scalar sub-spaces
+    ],
+)
+def test_pq_fc_fused_gather_decode(rng, b, cin, cout, s, k, d):
+    """decode='gather' (in-kernel dynamic gather) must bit-match the
+    select-accumulate decode — same tile values, different mechanics."""
+    from qcnn_tpu.ops.pallas import pq_fc_fused
+
+    x, params = _mk(rng, b, cin, cout, s, k, d)
+    want = np.asarray(
+        pq_fc_fused(x, params, block_b=8, block_o=128, block_s=128,
+                    interpret=True, decode="select")
+    )
+    got = np.asarray(
+        pq_fc_fused(x, params, block_b=8, block_o=128, block_s=128,
+                    interpret=True, decode="gather")
+    )
+    assert np.array_equal(got, want)

@@ -78,6 +78,39 @@ def main() -> int:
                                k1=4, k2=16)
             print(f"isolated decode {label}: {t*1e6:9.1f} us", flush=True)
 
+    # 2b. fused decode-GEMM kernel: select vs gather tile decode, plus the
+    # indecode (XLA onehot decode + GEMM) baseline, at fc6 geometry
+    from qcnn_tpu.ops import fc as fc_ops
+    from qcnn_tpu.ops.pallas import pq_fc_fused
+
+    cin, cout_fc, s_fc = 9216, 4096, 2304
+    cbf = jnp.asarray(rng.standard_normal((s_fc, 32, 4)), jnp.bfloat16)
+    af = jnp.asarray(rng.integers(0, 32, size=(cout_fc, s_fc)), jnp.uint8)
+    bias = jnp.zeros(cout_fc, jnp.float32)
+    for bsz in (1, 256):
+        xb_fc = jnp.asarray(rng.standard_normal((bsz, cin)), jnp.bfloat16)
+        for label, fn in [
+            ("fused select",
+             lambda xx, cb_, a_: pq_fc_fused(
+                 xx, {"codebooks": cb_, "assignments": a_, "bias": bias},
+                 decode="select").sum()),
+            ("fused gather",
+             lambda xx, cb_, a_: pq_fc_fused(
+                 xx, {"codebooks": cb_, "assignments": a_, "bias": bias},
+                 decode="gather").sum()),
+            ("indecode (onehot+GEMM)",
+             lambda xx, cb_, a_: fc_ops.pq_fc_indecode(
+                 xx, {"codebooks": cb_, "assignments": a_,
+                      "bias": bias}).sum()),
+            ("gdecode (gather+GEMM)",
+             lambda xx, cb_, a_: fc_ops.pq_fc_gdecode(
+                 xx, {"codebooks": cb_, "assignments": a_,
+                      "bias": bias}).sum()),
+        ]:
+            t = time_device_fn(fn, xb_fc, cbf, af, perturb_rest=True,
+                               k1=4, k2=16)
+            print(f"fc6 B={bsz:3d} {label}: {t*1e6:9.1f} us", flush=True)
+
     if "--skip-e2e" in sys.argv:
         return 0
 
