@@ -57,7 +57,7 @@ from qcnn_tpu.ops import (
 # layer geometry and batch (docs/KERNEL_STUDIES.md §9).
 CONV_IMPLS = ("decode", "indecode", "gdecode", "lut", "memory")
 FC_IMPLS = ("onehot", "gather", "decode", "indecode", "gdecode", "pallas",
-            "fused", "memory")
+            "fused", "lutgather", "memory")
 
 
 def _memory_fc_impl(p: dict, batch: int) -> str:

@@ -143,6 +143,10 @@ def pq_fc(x: jax.Array, params: dict, impl: str = "onehot") -> jax.Array:
         from qcnn_tpu.ops.pallas import pq_fc_pallas
 
         return pq_fc_pallas(x, params)
+    if impl == "lutgather":
+        from qcnn_tpu.ops.pallas import pq_fc_lut_gather
+
+        return pq_fc_lut_gather(x, params)
     if impl == "fused":
         from qcnn_tpu.ops.pallas import pq_fc_fused
 

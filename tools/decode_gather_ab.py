@@ -83,11 +83,13 @@ def main() -> int:
     from qcnn_tpu.ops import fc as fc_ops
     from qcnn_tpu.ops.pallas import pq_fc_fused
 
+    from qcnn_tpu.ops.pallas import pq_fc_fused, pq_fc_lut_gather
+
     cin, cout_fc, s_fc = 9216, 4096, 2304
     cbf = jnp.asarray(rng.standard_normal((s_fc, 32, 4)), jnp.bfloat16)
     af = jnp.asarray(rng.integers(0, 32, size=(cout_fc, s_fc)), jnp.uint8)
     bias = jnp.zeros(cout_fc, jnp.float32)
-    for bsz in (1, 256):
+    for bsz in (1, 8, 256):
         xb_fc = jnp.asarray(rng.standard_normal((bsz, cin)), jnp.bfloat16)
         for label, fn in [
             ("fused select",
@@ -98,6 +100,10 @@ def main() -> int:
              lambda xx, cb_, a_: pq_fc_fused(
                  xx, {"codebooks": cb_, "assignments": a_, "bias": bias},
                  decode="gather").sum()),
+            ("lutgather (LUT+kernel gather)",
+             lambda xx, cb_, a_: pq_fc_lut_gather(
+                 xx, {"codebooks": cb_, "assignments": a_,
+                      "bias": bias}).sum()),
             ("indecode (onehot+GEMM)",
              lambda xx, cb_, a_: fc_ops.pq_fc_indecode(
                  xx, {"codebooks": cb_, "assignments": a_,
