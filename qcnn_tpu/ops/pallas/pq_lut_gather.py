@@ -62,8 +62,11 @@ def _lut_gather(lut, asmt, bias, *, block_o, block_s, interpret):
     s_pad = _ceil_to(s, block_s)
     o_pad = _ceil_to(cout, block_o)
 
-    # padded lanes gather LUT row 0, which is zero-padded -> contribute 0
-    lut_p = jnp.pad(lut, ((0, 0), (0, 0), (0, s_pad - s)))
+    # padded lanes gather LUT row 0, which is zero-padded -> contribute 0;
+    # K pads up to the 8-sublane Mosaic minimum (indices never reach it)
+    k_pad = _ceil_to(k, 8)
+    lut_p = jnp.pad(lut, ((0, 0), (0, k_pad - k), (0, s_pad - s)))
+    k = k_pad
     asmt_p = jnp.pad(
         asmt.astype(jnp.int8),
         ((0, o_pad - cout), (0, s_pad - s)),
