@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qcnn_tpu.models import common
 from qcnn_tpu.ops import conv as conv_ops
 from qcnn_tpu.ops import fc as fc_ops
 from qcnn_tpu.ops.misc import relu
@@ -118,17 +119,11 @@ def init_dense_params(spec: ResNetSpec, seed: int = 0) -> dict:
 # Forward
 # ---------------------------------------------------------------------------
 
-# In-graph PQ decode formulation for memory mode / unprepared params.
-# "indecode" = one-hot MXU decode (XLA's gather lowering is ~300x off
-# roofline, KERNEL_STUDIES §9b); "gdecode" = Pallas dynamic-gather kernel
-# (§9c). Module-level so A/B tools and a measured flip stay one line.
-MEMORY_IMPL = "indecode"
-
-
 def _apply_conv(x, p, *, stride=1, pad=0):
     if "codebooks" in p:
+        # in-graph PQ decode formulation: models/common.py MEMORY_IMPL
         return conv_ops.pq_conv(x, p, stride=stride, pad=pad,
-                                impl=MEMORY_IMPL)
+                                impl=common.MEMORY_IMPL)
     if "kernel_q" in p:
         return conv_ops.conv_dense_int8(
             x, p["kernel_q"], p["scale"], p["bias"],
@@ -140,7 +135,7 @@ def _apply_conv(x, p, *, stride=1, pad=0):
 
 def _apply_fc(x, p):
     if "codebooks" in p:
-        return fc_ops.pq_fc(x, p, impl=MEMORY_IMPL)
+        return fc_ops.pq_fc(x, p, impl=common.MEMORY_IMPL)
     if "weight_q" in p:
         return fc_ops.fc_dense_int8(
             x, p["weight_q"], p["scale"], p["bias"],

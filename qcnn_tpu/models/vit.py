@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qcnn_tpu.models import common
 from qcnn_tpu.ops import fc as fc_ops
 
 
@@ -153,17 +154,13 @@ def _masked_attention(q, k, v, n_pad: int, logits_dtype=jnp.float32):
     )
 
 
-# In-graph PQ decode formulation (see models/resnet.py MEMORY_IMPL):
-# "indecode" = one-hot MXU decode (§9b), "gdecode" = Pallas gather (§9c).
-MEMORY_IMPL = "indecode"
-
-
 def _proj(x, p):
     """(…, Cin) @ gemm -> (…, Cout), PQ or dense."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     if "codebooks" in p:
-        y = fc_ops.pq_fc(x2, p, impl=MEMORY_IMPL)
+        # in-graph PQ decode formulation: models/common.py MEMORY_IMPL
+        y = fc_ops.pq_fc(x2, p, impl=common.MEMORY_IMPL)
     elif "weight_q" in p:
         y = fc_ops.fc_dense_int8(
             x2, p["weight_q"], p["scale"], p["bias"],

@@ -35,9 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _ceil_to(x: int, m: int) -> int:
-    return -(-x // m) * m
+from qcnn_tpu.ops.pallas._common import auto_interpret, ceil_to
 
 
 def _decode_kernel(cb_ref, idx_ref, out_ref, *, d_len):
@@ -55,11 +53,14 @@ def _decode_rows(codebooks, assignments, *, block_n, block_s, interpret):
     """Decode (N, S) assignments to (N, S, D) codeword rows."""
     s, k, d = codebooks.shape
     n = assignments.shape[0]
-    s_pad = _ceil_to(s, block_s)
-    n_pad = _ceil_to(n, block_n)
+    s_pad = ceil_to(s, block_s)
+    n_pad = ceil_to(n, block_n)
 
+    # table rows pad to the 8-sublane Mosaic minimum (indices never reach
+    # the zero padding: idx <= (K-1)*D + D-1 = K*D - 1)
+    rows = ceil_to(k * d, 8)
     cb = codebooks.transpose(1, 2, 0).reshape(k * d, s)
-    cb = jnp.pad(cb, ((0, 0), (0, s_pad - s)))
+    cb = jnp.pad(cb, ((0, rows - k * d), (0, s_pad - s)))
     # pre-scaled row base; padding rows/lanes index row 0 (valid — the
     # decoded padding is sliced off below)
     idx = jnp.pad(
@@ -73,7 +74,7 @@ def _decode_rows(codebooks, assignments, *, block_n, block_s, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (k * d, block_s), lambda i, j: (0, j),
+                (rows, block_s), lambda i, j: (0, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -101,10 +102,12 @@ def _decode_rows(codebooks, assignments, *, block_n, block_s, interpret):
     return out[:, :n, :s].transpose(1, 2, 0)
 
 
-def _auto_interpret(interpret):
-    if interpret is None:
-        return jax.default_backend() != "tpu"
-    return interpret
+def _block_n(requested: int, n: int, dtype) -> int:
+    """Clamp the row tile: >= the Mosaic sublane minimum for the output
+    dtype (16 rows for 16-bit types, 8 otherwise), <= the padded row
+    count."""
+    min_rows = 16 if jnp.dtype(dtype).itemsize == 2 else 8
+    return max(min_rows, min(requested, ceil_to(n, min_rows)))
 
 
 def decode_fc_weight_gather(
@@ -120,9 +123,9 @@ def decode_fc_weight_gather(
     s, k, d = codebooks.shape
     rows = _decode_rows(
         codebooks, assignments,
-        block_n=min(block_n, _ceil_to(assignments.shape[0], 8)),
-        block_s=min(block_s, _ceil_to(s, 128)),
-        interpret=_auto_interpret(interpret),
+        block_n=_block_n(block_n, assignments.shape[0], codebooks.dtype),
+        block_s=min(block_s, ceil_to(s, 128)),
+        interpret=auto_interpret(interpret),
     )
     w = rows.reshape(assignments.shape[0], s * d)[:, :in_features]
     return w.T
@@ -143,9 +146,9 @@ def decode_conv_kernel_gather(
     cout, kh, kw, s2 = assignments.shape
     rows = _decode_rows(
         codebooks, assignments.reshape(cout * kh * kw, s),
-        block_n=min(block_n, _ceil_to(cout * kh * kw, 8)),
-        block_s=min(block_s, _ceil_to(s, 128)),
-        interpret=_auto_interpret(interpret),
+        block_n=_block_n(block_n, cout * kh * kw, codebooks.dtype),
+        block_s=min(block_s, ceil_to(s, 128)),
+        interpret=auto_interpret(interpret),
     )
     w = rows.reshape(cout, kh, kw, s * d)[..., :in_channels_per_group]
     return jnp.transpose(w, (1, 2, 3, 0))

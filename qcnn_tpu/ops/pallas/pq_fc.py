@@ -32,10 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from qcnn_tpu.ops import lut as lut_ops
-
-
-def _ceil_to(x: int, m: int) -> int:
-    return -(-x // m) * m
+from qcnn_tpu.ops.pallas._common import auto_interpret, ceil_to
 
 
 def _kernel(lut_ref, asmt_ref, bias_ref, out_ref, *, num_groups, group, k):
@@ -70,10 +67,10 @@ def _pq_fc_pallas(
     assert s_dim == s
 
     group = max(8, 128 // k)
-    s_pad = _ceil_to(s, group)
+    s_pad = ceil_to(s, group)
     num_groups = s_pad // group
-    b_pad = _ceil_to(b, block_b)
-    o_pad = _ceil_to(cout, block_o)
+    b_pad = ceil_to(b, block_b)
+    o_pad = ceil_to(cout, block_o)
 
     lut = lut_ops.build_lut(x, codebooks)                # (B, S, K)
     lut = lut.reshape(b, s * k)
@@ -133,8 +130,7 @@ def pq_fc_pallas(
         2.4 MB.
       interpret: force Pallas interpreter mode; default auto (True off-TPU).
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    interpret = auto_interpret(interpret)
     k = params["codebooks"].shape[1]
     idx_dtype = jnp.int8 if k <= 128 else jnp.int32
     asmt_t = jnp.asarray(params["assignments"]).astype(idx_dtype).T  # (S, Cout)

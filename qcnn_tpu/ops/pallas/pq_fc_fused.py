@@ -45,9 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _ceil_to(x: int, m: int) -> int:
-    return -(-x // m) * m
+from qcnn_tpu.ops.pallas._common import auto_interpret, ceil_to
 
 
 def _kernel(xt_ref, cb_ref, asmt_ref, bias_ref, out_ref, *, num_k, d_len,
@@ -112,9 +110,9 @@ def _pq_fc_fused(
     cout, s_dim = asmt.shape
     assert s_dim == s
 
-    s_pad = _ceil_to(s, block_s)
-    b_pad = _ceil_to(b, block_b)
-    o_pad = _ceil_to(cout, block_o)
+    s_pad = ceil_to(s, block_s)
+    b_pad = ceil_to(b, block_b)
+    o_pad = ceil_to(cout, block_o)
 
     # x -> (D, B, S): d-major slices are contiguous in-kernel (Mosaic has no
     # strided value slices). Feature overhang (cin < S*D) zero-pads, matching
@@ -205,11 +203,12 @@ def pq_fc_fused(
         select-accumulate passes) or "gather" (Mosaic dynamic gather,
         KERNEL_STUDIES §9c).
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    interpret = auto_interpret(interpret)
+    if decode not in ("select", "gather"):
+        raise ValueError(f"unknown decode formulation: {decode!r}")
     b = x.shape[0]
     if block_b is None:
-        block_b = max(16, min(256, _ceil_to(b, 16)))
+        block_b = max(16, min(256, ceil_to(b, 16)))
     k = params["codebooks"].shape[1]
     if k > 127:
         raise ValueError(

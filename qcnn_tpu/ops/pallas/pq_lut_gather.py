@@ -32,10 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from qcnn_tpu.ops import lut as lut_ops
-
-
-def _ceil_to(x: int, m: int) -> int:
-    return -(-x // m) * m
+from qcnn_tpu.ops.pallas._common import auto_interpret, ceil_to
 
 
 def _kernel(lut_ref, asmt_ref, bias_ref, out_ref):
@@ -59,12 +56,12 @@ def _lut_gather(lut, asmt, bias, *, block_o, block_s, interpret):
     b, k, s = lut.shape
     cout, s_dim = asmt.shape
     assert s_dim == s
-    s_pad = _ceil_to(s, block_s)
-    o_pad = _ceil_to(cout, block_o)
+    s_pad = ceil_to(s, block_s)
+    o_pad = ceil_to(cout, block_o)
 
     # padded lanes gather LUT row 0, which is zero-padded -> contribute 0;
     # K pads up to the 8-sublane Mosaic minimum (indices never reach it)
-    k_pad = _ceil_to(k, 8)
+    k_pad = ceil_to(k, 8)
     lut_p = jnp.pad(lut, ((0, 0), (0, k_pad - k), (0, s_pad - s)))
     k = k_pad
     asmt_p = jnp.pad(
@@ -127,8 +124,7 @@ def pq_fc_lut_gather(
       block_o/block_s: output-row / subspace-lane tile sizes.
       interpret: force interpreter mode; default auto (True off-TPU).
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    interpret = auto_interpret(interpret)
     k = params["codebooks"].shape[1]
     if k > 127:
         raise ValueError(
@@ -142,7 +138,7 @@ def pq_fc_lut_gather(
         lut_t,
         jnp.asarray(params["assignments"]),
         jnp.asarray(params["bias"]),
-        block_o=min(block_o, _ceil_to(params["assignments"].shape[0], 8)),
-        block_s=min(block_s, _ceil_to(s, 128)),
+        block_o=min(block_o, ceil_to(params["assignments"].shape[0], 8)),
+        block_s=min(block_s, ceil_to(s, 128)),
         interpret=interpret,
     )

@@ -81,8 +81,6 @@ def main() -> int:
     # 2b. fused decode-GEMM kernel: select vs gather tile decode, plus the
     # indecode (XLA onehot decode + GEMM) baseline, at fc6 geometry
     from qcnn_tpu.ops import fc as fc_ops
-    from qcnn_tpu.ops.pallas import pq_fc_fused
-
     from qcnn_tpu.ops.pallas import pq_fc_fused, pq_fc_lut_gather
 
     cin, cout_fc, s_fc = 9216, 4096, 2304
@@ -162,8 +160,10 @@ def main() -> int:
         fam.prepare_params(spec_r, pq, dtype=jnp.bfloat16, memory=True)
     )
     xb = rng.standard_normal((64, 224, 224, 3)).astype(np.float32)
+    from qcnn_tpu.models import common
+
     for impl in ("indecode", "gdecode"):
-        fam.MEMORY_IMPL = impl
+        common.MEMORY_IMPL = impl
 
         def step_r(xx, ps):
             return fam.forward(ps, xx, spec=spec_r,
@@ -172,7 +172,7 @@ def main() -> int:
         t = time_device_fn(step_r, xb, prepared, k1=2, k2=8)
         print(f"resnet50 memory b64 {impl}: {t*1e3:.3f} ms "
               f"({64/t:.0f} img/s)", flush=True)
-    fam.MEMORY_IMPL = "indecode"
+    common.MEMORY_IMPL = "indecode"
     return 0
 
 

@@ -83,12 +83,13 @@ def main():
             if not interpret:
                 from qcnn_tpu.utils.devtime import time_device_fn
 
-                us = time_device_fn(
-                    lambda t, i: gather_call(t, i, interpret=False),
+                t = time_device_fn(
+                    lambda t_, i: gather_call(t_, i, interpret=False),
                     table, idx,
-                )
+                )  # seconds/call (utils/devtime.py)
                 elems = rows * lanes
-                line += (f" {us:8.1f} us  {elems / us * 1e-3:7.2f} Gelem/s")
+                line += (f" {t*1e6:8.1f} us  {elems / t / 1e9:7.2f} "
+                         f"Gelem/s")
             print(line)
 
 
