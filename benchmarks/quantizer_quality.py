@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--ec", action="store_true",
                     help="also compare error-corrected vs plain at K/2")
+    ap.add_argument("--opq", action="store_true",
+                    help="also compare OPQ variance permutation vs "
+                         "contiguous split at K/2")
     args = ap.parse_args()
 
     import jax
@@ -79,6 +82,38 @@ def main():
             f"re-quantize rel err={rel:.4f} in {dt:.1f}s",
             flush=True,
         )
+
+        # OPQ permutation vs contiguous split at HALF the codewords (the
+        # re-quantization above is ~lossless by construction, so the
+        # quantizer choice only shows at a lossy operating point) — real
+        # trained weight statistics.
+        if args.opq:
+            from qcnn_tpu.quantizer.opq import variance_permutation
+
+            k2 = max(2, k // 2)
+            perm = variance_permutation(w, s)
+
+            def werr(res, wp):
+                wh = np.asarray(decode_fc_weight(
+                    np.asarray(res.codebooks), np.asarray(res.assignments),
+                    s * d,
+                )).T
+                return float(np.linalg.norm(wh - wp) / np.linalg.norm(w))
+
+            plain = quantize_plain(
+                jax.random.key(1), w, num_subspaces=s, num_codewords=k2,
+                iters=args.iters,
+            )
+            opq = quantize_plain(
+                jax.random.key(1), w[:, perm], num_subspaces=s,
+                num_codewords=k2, iters=args.iters,
+            )
+            ep, eo = werr(plain, w), werr(opq, w[:, perm])
+            print(
+                f"{name}: K={k2} weight err plain={ep:.4f} "
+                f"OPQ-perm={eo:.4f} ({100 * (1 - eo / ep):.1f}% better)",
+                flush=True,
+            )
 
         # Error-corrected vs plain at HALF the codewords (a lossy setting
         # where the quantizer choice matters) under anisotropic calibration

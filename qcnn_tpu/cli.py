@@ -471,7 +471,8 @@ def cmd_quantize(args) -> int:
         conv_codewords=args.conv_codewords,
         fc_subvec_len=args.fc_subvec_len,
         fc_codewords=args.fc_codewords,
-        overrides=overrides, x_calib=x_calib, seed=args.seed, log=log,
+        overrides=overrides, x_calib=x_calib, seed=args.seed,
+        opq=args.opq, log=log,
     )
     save_checkpoint(args.out, spec, out_params, store=args.store)
     if embed_torch_preproc:
@@ -963,6 +964,12 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--calib-random", type=int, default=0, metavar="N",
                    help="like --calib-npy but with N random inputs "
                         "(exercises the error-corrected path without data)")
+    q.add_argument("--opq", default=None, choices=["variance"],
+                   help="OPQ input permutation before sub-space splitting "
+                        "(balanced variance allocation, quantizer/opq.py); "
+                        "lower quantization error, same compression — but "
+                        "the result cannot be exported to the reference "
+                        "file layout")
     q.add_argument("--cpu", action="store_true",
                    help="run the quantizer on the host CPU")
     q.add_argument("--store", default="npz", choices=["npz", "orbax"],

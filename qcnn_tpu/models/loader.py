@@ -145,6 +145,12 @@ def save_reference_model(
     for i, (layer, p) in enumerate(zip(spec.layers, params)):
         if p is None or not isinstance(layer, (ConvSpec, FCSpec)):
             continue
+        if "perm" in p:
+            raise ValueError(
+                f"layer {i}: OPQ-permuted params cannot be exported to the "
+                "reference layout (the C++ engine has no permutation "
+                "concept); re-quantize without --opq for interop"
+            )
         write_bin(path("biasVec", i, "bin"),
                   np.asarray(p["bias"], np.float32))
         if "codebooks" in p:

@@ -144,6 +144,12 @@ def prepare_params(
                     np.asarray(p["assignments"]),
                     c // layer.groups,
                 )
+                if "perm" in p:
+                    # fold the OPQ channel permutation into the dense
+                    # kernel: W_eq[..., ch, :] = W_perm[..., invperm, :]
+                    from qcnn_tpu.quantizer.opq import inverse_permutation
+
+                    kernel = kernel[:, :, inverse_permutation(p["perm"]), :]
                 bias = np.asarray(p["bias"], np.float32)
                 if _is_int8(dtype):
                     kq, scale = _quantize_weight_int8(kernel)
@@ -185,6 +191,10 @@ def prepare_params(
                     np.asarray(p["assignments"]),
                     cin,
                 )
+                if "perm" in p:
+                    from qcnn_tpu.quantizer.opq import inverse_permutation
+
+                    weight = weight[inverse_permutation(p["perm"]), :]
                 bias = np.asarray(p["bias"], np.float32)
                 if _is_int8(dtype):
                     wq, scale = _quantize_weight_int8(weight)
@@ -211,8 +221,11 @@ def _cast_pq(p: dict, dtype) -> dict:
     # LUT-strategy layers keep float codebooks (int8 execution applies to
     # the decoded-dense path only)
     cb_dtype = jnp.bfloat16 if _is_int8(dtype) else dtype
-    return {
+    out = {
         "codebooks": np.asarray(p["codebooks"], _np_dtype(cb_dtype)),
         "assignments": np.asarray(p["assignments"]),
         "bias": np.asarray(p["bias"], np.float32),
     }
+    if "perm" in p:  # OPQ permutation (consumed by ops.fc/ops.conv)
+        out["perm"] = np.asarray(p["perm"], np.int32)
+    return out

@@ -227,6 +227,18 @@ def pq_conv(
     groups: int = 1,
     impl: str = "decode",
 ) -> jax.Array:
+    if "perm" in params:
+        # OPQ channel permutation (quantizer/opq.py): codebooks are shared
+        # across groups, so the same within-group permutation applies to
+        # each group's channel block. Decode-at-load params never reach
+        # here (prepare folds it into the dense kernel).
+        perm = jnp.asarray(params["perm"])
+        cg = x.shape[-1] // groups
+        if groups > 1:
+            perm = jnp.concatenate(
+                [perm + g * cg for g in range(groups)]
+            )
+        x = jnp.take(x, perm, axis=-1)
     if impl == "decode":
         return pq_conv_decode(x, params, stride=stride, pad=pad, groups=groups)
     if impl == "indecode":

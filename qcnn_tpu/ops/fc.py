@@ -129,6 +129,12 @@ def pq_fc_gdecode(x: jax.Array, params: dict) -> jax.Array:
 
 
 def pq_fc(x: jax.Array, params: dict, impl: str = "onehot") -> jax.Array:
+    if "perm" in params:
+        # OPQ input permutation (quantizer/opq.py): sub-spaces were fit on
+        # w[:, perm], so every in-graph formulation consumes x[..., perm].
+        # Decode-at-load params never reach here (prepare folds the
+        # permutation into the dense weight).
+        x = jnp.take(x, jnp.asarray(params["perm"]), axis=-1)
     if impl == "onehot":
         return pq_fc_onehot(x, params)
     if impl == "gather":

@@ -11,3 +11,7 @@ from qcnn_tpu.quantizer.pq import (  # noqa: F401
     quantize_input_weighted,
     quantize_plain,
 )
+from qcnn_tpu.quantizer.opq import (  # noqa: F401
+    inverse_permutation,
+    variance_permutation,
+)

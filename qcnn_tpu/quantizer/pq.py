@@ -247,9 +247,21 @@ def quantize_fc_layer(
     num_subspaces: int,
     num_codewords: int,
     xcal: Optional[np.ndarray] = None,
+    opq: Optional[str] = None,
     **kwargs,
 ) -> dict:
-    """weight (Cout, Cin) -> PQ fc params dict."""
+    """weight (Cout, Cin) -> PQ fc params dict.
+
+    opq="variance" permutes input dims by balanced variance allocation
+    before sub-space splitting (quantizer/opq.py); the permutation rides in
+    the params dict ("perm") and is applied/folded by ops.fc / prepare.
+    """
+    perm = None
+    if opq is not None:
+        perm = _opq_perm(weight_out_in, num_subspaces, opq)
+        weight_out_in = np.asarray(weight_out_in)[:, perm]
+        if xcal is not None:
+            xcal = np.asarray(xcal)[:, perm]
     w = jnp.asarray(weight_out_in, jnp.float32)
     if xcal is None:
         res = quantize_plain(
@@ -261,11 +273,22 @@ def quantize_fc_layer(
             key, w, jnp.asarray(xcal, jnp.float32),
             num_subspaces=num_subspaces, num_codewords=num_codewords, **kwargs,
         )
-    return {
+    out = {
         "codebooks": np.asarray(res.codebooks, np.float32),
         "assignments": np.asarray(res.assignments, np.uint8),
         "bias": np.asarray(bias, np.float32).reshape(-1),
     }
+    if perm is not None:
+        out["perm"] = perm
+    return out
+
+
+def _opq_perm(w2d, num_subspaces: int, method: str) -> np.ndarray:
+    from qcnn_tpu.quantizer.opq import variance_permutation
+
+    if method != "variance":
+        raise ValueError(f"unknown opq method: {method!r}")
+    return variance_permutation(np.asarray(w2d), num_subspaces)
 
 
 def quantize_conv_layer(
@@ -276,16 +299,25 @@ def quantize_conv_layer(
     num_subspaces: int,
     num_codewords: int,
     xcal: Optional[np.ndarray] = None,
+    opq: Optional[str] = None,
     **kwargs,
 ) -> dict:
     """kernel (Cout, Cg, kh, kw) (reference convKnl layout) -> PQ conv params.
 
     Sub-vectors are the input-channel slices per (output, kernel position)
-    — the reference's data model (SURVEY.md §2a).
+    — the reference's data model (SURVEY.md §2a). opq="variance" permutes
+    the Cg input channels (same permutation for every group — the codebook
+    is shared across groups, CaffeEva.cc:534-560).
     """
     cout, cg, kh, kw = kernel_oihw.shape
     # (Cout, kh, kw, Cg): one Cg-vector per (o, i, j)
     w = np.transpose(kernel_oihw, (0, 2, 3, 1)).reshape(cout * kh * kw, cg)
+    perm = None
+    if opq is not None:
+        perm = _opq_perm(w, num_subspaces, opq)
+        w = np.asarray(w)[:, perm]
+        if xcal is not None:
+            xcal = np.asarray(xcal)[:, perm]
     w = jnp.asarray(w, jnp.float32)
     if xcal is None:
         res = quantize_plain(
@@ -300,8 +332,11 @@ def quantize_conv_layer(
     assigns = np.asarray(res.assignments, np.uint8).reshape(
         cout, kh, kw, num_subspaces
     )
-    return {
+    out = {
         "codebooks": np.asarray(res.codebooks, np.float32),
         "assignments": assigns,
         "bias": np.asarray(bias, np.float32).reshape(-1),
     }
+    if perm is not None:
+        out["perm"] = perm
+    return out

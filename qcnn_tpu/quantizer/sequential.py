@@ -228,14 +228,16 @@ def quantize_network(
     x_calib: Optional[np.ndarray] = None,
     max_conv_samples: int = 16384,
     seed: int = 0,
+    opq: Optional[str] = None,
     log=lambda *_: None,
 ) -> list:
     """Quantize every dense layer of a linear-spec network.
 
     Without x_calib: plain per-layer k-means (weights only). With x_calib
     ((B, H, W, C) preprocessed inputs): sequential error-corrected PQ as
-    described in the module docstring. Already-PQ / parameter-free layers
-    pass through."""
+    described in the module docstring. opq="variance" adds the OPQ input
+    permutation per layer (quantizer/opq.py). Already-PQ / parameter-free
+    layers pass through."""
     overrides = overrides or {}
     out = list(params)
     rng = np.random.default_rng(seed)
@@ -268,7 +270,7 @@ def quantize_network(
                 sub, kernel, p["bias"],
                 num_subspaces=-(-cg // d),
                 num_codewords=ov.get("codewords", conv_codewords),
-                xcal=xcal,
+                xcal=xcal, opq=opq,
             )
             log(f"layer {i} (ConvSpec): quantized"
                 + (" [error-corrected]" if xcal is not None else ""))
@@ -279,7 +281,7 @@ def quantize_network(
                 sub, weight, p["bias"],
                 num_subspaces=-(-weight.shape[1] // d),
                 num_codewords=ov.get("codewords", fc_codewords),
-                xcal=xcal,
+                xcal=xcal, opq=opq,
             )
             log(f"layer {i} (FCSpec): quantized"
                 + (" [error-corrected]" if xcal is not None else ""))
