@@ -38,10 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 from qcnn_tpu.ops.pallas._common import auto_interpret, ceil_to
 
 
-def _decode_kernel(cb_ref, idx_ref, out_ref, *, d_len):
-    """cb (K*D, Sg); idx (Nt, Sg) int32 pre-scaled to row base A*D;
-    out (D, Nt, Sg) — out[d, n, s] = cb[idx[n, s] + d, s]."""
-    idx = idx_ref[:]
+def _decode_kernel(cb_ref, asmt_ref, out_ref, *, d_len):
+    """cb (K*D, Sg); asmt (Nt, Sg) int8 (K <= 128) or int32 codeword ids;
+    out (D, Nt, Sg) — out[d, n, s] = cb[asmt[n, s]*D + d, s]. The id->row
+    scale happens in VMEM so the HBM index stream stays 1 byte/element."""
+    idx = asmt_ref[:].astype(jnp.int32) * d_len
     for d in range(d_len):
         out_ref[d] = jnp.take_along_axis(cb_ref[:], idx + d, axis=0)
 
@@ -61,10 +62,12 @@ def _decode_rows(codebooks, assignments, *, block_n, block_s, interpret):
     rows = ceil_to(k * d, 8)
     cb = codebooks.transpose(1, 2, 0).reshape(k * d, s)
     cb = jnp.pad(cb, ((0, rows - k * d), (0, s_pad - s)))
-    # pre-scaled row base; padding rows/lanes index row 0 (valid — the
-    # decoded padding is sliced off below)
+    # int8 ids stream 1 byte/element from HBM for K <= 128 (codeword ids
+    # 0..127 fit int8 exactly); wider codebooks fall back to int32.
+    # Padding rows/lanes index row 0 (valid — sliced off below).
+    idx_dtype = jnp.int8 if k <= 128 else jnp.int32
     idx = jnp.pad(
-        assignments.astype(jnp.int32) * d,
+        assignments.astype(idx_dtype),
         ((0, n_pad - n), (0, s_pad - s)),
     )
 
@@ -90,7 +93,7 @@ def _decode_rows(codebooks, assignments, *, block_n, block_s, interpret):
         cost_estimate=pl.CostEstimate(
             flops=0,
             bytes_accessed=(
-                n_pad * s_pad * 4
+                n_pad * s_pad * jnp.dtype(idx_dtype).itemsize
                 + d * n_pad * s_pad * codebooks.dtype.itemsize
                 + s_pad * k * d * codebooks.dtype.itemsize
             ),
