@@ -42,7 +42,12 @@ def main() -> int:
         return 2
 
     from qcnn_tpu.ops.fc import pq_fc_decode
-    from qcnn_tpu.ops.pallas import pq_fc_fused, pq_fc_pallas
+    from qcnn_tpu.ops.pallas import (
+        decode_fc_weight_gather,
+        pq_fc_fused,
+        pq_fc_lut_gather,
+        pq_fc_pallas,
+    )
 
     rng = np.random.default_rng(0)
     ok = True
@@ -68,6 +73,33 @@ def main() -> int:
         got = np.asarray(pq_fc_pallas(jnp.asarray(x), p, interpret=False))
         want_f32 = np.asarray(pq_fc_decode(jnp.asarray(x), p))
         ok &= check(f"pq_fc_pallas/{name}", got, want_f32, 2e-2)
+        # dynamic-gather kernels (§9c/§9d) — compile may legitimately fail
+        # if this toolchain lacks tpu.dynamic_gather; report, don't crash
+        try:
+            got = np.asarray(pq_fc_fused(
+                jnp.asarray(x), p, interpret=False, decode="gather"))
+            ok &= check(f"pq_fc_fused-gather/{name}", got, want, 1e-4)
+        except Exception as e:  # noqa: BLE001
+            print(f"SKIP pq_fc_fused-gather/{name}: "
+                  f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+        try:
+            from qcnn_tpu.ops import lut as lut_ops
+
+            wd = np.asarray(decode_fc_weight_gather(
+                p_bf["codebooks"], p["assignments"], cin, interpret=False))
+            wd_want = np.asarray(lut_ops.decode_fc_weight_onehot(
+                p_bf["codebooks"], p["assignments"], cin))
+            ok &= check(f"decode_gather/{name}", wd, wd_want, 1e-6)
+        except Exception as e:  # noqa: BLE001
+            print(f"SKIP decode_gather/{name}: "
+                  f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+        try:
+            got = np.asarray(pq_fc_lut_gather(
+                jnp.asarray(x), p, interpret=False))
+            ok &= check(f"pq_fc_lut_gather/{name}", got, want_f32, 2e-2)
+        except Exception as e:  # noqa: BLE001
+            print(f"SKIP pq_fc_lut_gather/{name}: "
+                  f"{type(e).__name__}: {str(e)[:160]}", flush=True)
 
     # fused LRN (documented negative for perf, but must stay compiled-
     # correct: it is the in-tree Mosaic reference for the §2b study)
