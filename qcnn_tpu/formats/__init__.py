@@ -5,6 +5,8 @@ from qcnn_tpu.formats.reference_codec import (  # noqa: F401
     write_bin,
     read_cbn,
     write_cbn,
+    read_txt,
+    write_txt,
     read_asmt,
     convert_asmt,
 )

@@ -201,6 +201,53 @@ def write_cbn(
     return bits
 
 
+def read_txt(path: str | os.PathLike, dtype) -> np.ndarray:
+    """Read a reference ``.txt`` tensor (ReadTxtFile, FileIO.h:180-227).
+
+    Layout: a header line ``dim_cnt dims...`` followed by whitespace-
+    separated values (the reference reads with fscanf, so any whitespace
+    splits tokens). Like ``.bin``, the format does not encode the element
+    dtype; the caller supplies it.
+    """
+    dtype = np.dtype(dtype)
+    with open(path, "r", encoding="ascii") as f:
+        tokens = f.read().split()
+    if not tokens:
+        raise ValueError(f"{os.fspath(path)}: empty .txt tensor file")
+    dim_cnt = int(tokens[0])
+    if not 1 <= dim_cnt <= 8:
+        raise ValueError(f"implausible dim_cnt={dim_cnt}; not a reference file?")
+    dims = tuple(int(t) for t in tokens[1 : 1 + dim_cnt])
+    if any(d <= 0 for d in dims):
+        raise ValueError(f"non-positive dimension in header: {dims}")
+    n = int(np.prod(dims))
+    vals = tokens[1 + dim_cnt :]
+    if len(vals) != n:
+        raise ValueError(
+            f"{os.fspath(path)}: header promises {n} elements, found {len(vals)}"
+        )
+    return np.array(vals, dtype=dtype).reshape(dims)
+
+
+def write_txt(path: str | os.PathLike, arr: np.ndarray) -> None:
+    """Write a reference ``.txt`` tensor (WriteTxtFile, FileIO.h:353-391).
+
+    Header line ``dim_cnt dims...``; then one line per trailing-dimension
+    row, space-separated. Floats print as ``%.4f`` (GetTypeInfo,
+    FileIO.h:394-445) — the reference's debug format is lossy by design.
+    """
+    arr = np.asarray(arr)
+    if arr.ndim < 1:
+        arr = arr.reshape(1)
+    fmt = "%.4f" if np.issubdtype(arr.dtype, np.floating) else "%d"
+    last = arr.shape[-1]
+    with open(path, "w", encoding="ascii") as f:
+        f.write(" ".join(str(d) for d in (arr.ndim, *arr.shape)) + "\n")
+        flat = arr.reshape(-1, last)
+        for row in flat:
+            f.write(" ".join(fmt % v for v in row) + "\n")
+
+
 def read_asmt(path: str | os.PathLike) -> np.ndarray:
     """Read an assignment tensor from either encoding, returning 0-based uint8
     indices (the engine-facing convention). ``.bin`` raw assignment files store

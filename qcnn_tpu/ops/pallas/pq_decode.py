@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: PQ weight decode via in-VMEM dynamic gather.
+"""Pallas TPU kernel: PQ weight decode via in-VMEM dynamic LANE gather.
 
 The in-step decode ('indecode') memory mode reconstructs the dense weight
 inside the jitted step from HBM-resident codebooks + uint8 assignments
@@ -8,18 +8,26 @@ inside the jitted step from HBM-resident codebooks + uint8 assignments
 geometry (K=128, D=4), a (A, K)-shaped one-hot operand 32x the size of the
 decoded weight itself.
 
-This kernel instead decodes with Mosaic's per-lane dynamic gather
-(`jnp.take_along_axis(table, idx, axis=0)` inside the kernel — lowered to
-`tpu.dynamic_gather`):
+This kernel instead decodes with Mosaic's dynamic gather
+(`tpu.dynamic_gather` via the lax.gather pattern in _common.gather_lanes).
+The v5e constraints (measured, tools/pallas_gather_probe.py + KERNEL_STUDIES
+§9c) force the LANE orientation — the table must fit one vreg along the
+gather axis (128 lanes, and every PQ config has K <= 128), gathers are
+32-bit only, and the index block must have the same shape as the table
+block:
 
-  - codebooks sit VMEM-resident in the (K*D, S) layout (row k*D + d holds
-    codeword k's d-th component for every subspace — lanes are subspaces,
-    so the gather index A[n, s]*D + d varies per lane exactly as the
-    hardware gather expects);
-  - assignment tiles stream as int32 row indices;
-  - one gather per d produces the (N, S) slice of the decoded weight —
-    ~1 VPU op per weight element instead of 2K select-accumulates
-    (ops/pallas/pq_fc_fused.py) or K/D-fold one-hot MACs.
+  - per-component codeword tables sit VMEM-resident as f32 (D, S, 128):
+    table[d, s, k] = cb[s, k, d] — one independent 128-entry table per
+    (d, subspace) sublane row;
+  - assignments stream TRANSPOSED as (S, N) int8 codeword ids (1
+    byte/element from HBM), widened to i32 lane indices in VMEM;
+  - one lane gather per (d, S-block) produces out[d, s, n] =
+    cb[s, A[n, s], d] — ~1 VPU op per decoded element instead of 2K
+    select-accumulates (ops/pallas/pq_fc_fused.py) or K/D-fold one-hot
+    MACs; the f32 gather result converts to the output dtype in-register.
+
+The (D, S, N) output layout means the fc consumer's (Cin, Cout) weight is
+a pure reshape of the (S, D, N) transpose done by XLA outside the kernel.
 
 Compiled-mode availability and speed are probed by
 tools/pallas_gather_probe.py; measured decode numbers live in
@@ -35,82 +43,90 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from qcnn_tpu.ops.pallas._common import auto_interpret, ceil_to
-
-
-def _decode_kernel(cb_ref, asmt_ref, out_ref, *, d_len):
-    """cb (K*D, Sg); asmt (Nt, Sg) int8 (K <= 128) or int32 codeword ids;
-    out (D, Nt, Sg) — out[d, n, s] = cb[asmt[n, s]*D + d, s]. The id->row
-    scale happens in VMEM so the HBM index stream stays 1 byte/element."""
-    idx = asmt_ref[:].astype(jnp.int32) * d_len
-    for d in range(d_len):
-        out_ref[d] = jnp.take_along_axis(cb_ref[:], idx + d, axis=0)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("block_n", "block_s", "interpret")
+from qcnn_tpu.ops.pallas._common import (
+    auto_interpret,
+    ceil_to,
+    gather_lanes,
 )
-def _decode_rows(codebooks, assignments, *, block_n, block_s, interpret):
-    """Decode (N, S) assignments to (N, S, D) codeword rows."""
+
+_LANES = 128
+
+
+def _decode_kernel(tab_ref, asmt_ref, out_ref, *, d_len):
+    """tab (D, Sb, 128) f32 codeword tables; asmt (Sb, 128) int8 codeword
+    ids (K <= 128); out (D, Sb, 128) — out[d, s, n] = tab[d, s,
+    asmt[s, n]]. The id widening to i32 happens in VMEM so the HBM index
+    stream stays 1 byte/element."""
+    idx = asmt_ref[:].astype(jnp.int32)
+    for d in range(d_len):
+        out_ref[d] = gather_lanes(tab_ref[d], idx).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+def _decode_sdn(codebooks, assignments, *, block_s, interpret):
+    """Decode (N, S) assignments to (S, D, N) codeword components."""
     s, k, d = codebooks.shape
+    if k > _LANES:
+        raise ValueError(
+            f"gather decode supports K <= {_LANES} (one vreg of lanes); "
+            f"got K={k}"
+        )
     n = assignments.shape[0]
     s_pad = ceil_to(s, block_s)
-    n_pad = ceil_to(n, block_n)
+    n_pad = ceil_to(n, _LANES)
 
-    # table rows pad to the 8-sublane Mosaic minimum (indices never reach
-    # the zero padding: idx <= (K-1)*D + D-1 = K*D - 1)
-    rows = ceil_to(k * d, 8)
-    cb = codebooks.transpose(1, 2, 0).reshape(k * d, s)
-    cb = jnp.pad(cb, ((0, rows - k * d), (0, s_pad - s)))
-    # int8 ids stream 1 byte/element from HBM for K <= 128 (codeword ids
-    # 0..127 fit int8 exactly); wider codebooks fall back to int32.
-    # Padding rows/lanes index row 0 (valid — sliced off below).
-    idx_dtype = jnp.int8 if k <= 128 else jnp.int32
+    # tables: (S, K, D) -> (D, S, K), K zero-padded to the 128-lane vreg
+    # (indices never reach the padding: idx <= K-1), f32 per constraint 4
+    tab = codebooks.astype(jnp.float32).transpose(2, 0, 1)
+    tab = jnp.pad(tab, ((0, 0), (0, s_pad - s), (0, _LANES - k)))
+    # transposed int8 ids stream 1 byte/element from HBM (codeword ids
+    # 0..127 fit int8 exactly); padding rows/lanes index lane 0 (valid —
+    # sliced off below)
     idx = jnp.pad(
-        assignments.astype(idx_dtype),
-        ((0, n_pad - n), (0, s_pad - s)),
+        assignments.astype(jnp.int8).T,
+        ((0, s_pad - s), (0, n_pad - n)),
     )
 
-    grid = (n_pad // block_n, s_pad // block_s)
+    grid = (s_pad // block_s, n_pad // _LANES)
     out = pl.pallas_call(
         functools.partial(_decode_kernel, d_len=d),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (rows, block_s), lambda i, j: (0, j),
+                (d, block_s, _LANES), lambda i, j: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (block_n, block_s), lambda i, j: (i, j),
+                (block_s, _LANES), lambda i, j: (i, j),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (d, block_n, block_s), lambda i, j: (0, i, j),
+            (d, block_s, _LANES), lambda i, j: (0, i, j),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((d, n_pad, s_pad), codebooks.dtype),
+        out_shape=jax.ShapeDtypeStruct((d, s_pad, n_pad), codebooks.dtype),
         cost_estimate=pl.CostEstimate(
             flops=0,
             bytes_accessed=(
-                n_pad * s_pad * jnp.dtype(idx_dtype).itemsize
-                + d * n_pad * s_pad * codebooks.dtype.itemsize
-                + s_pad * k * d * codebooks.dtype.itemsize
+                s_pad * n_pad
+                + d * s_pad * n_pad * codebooks.dtype.itemsize
+                + s_pad * _LANES * d * 4
             ),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(cb, idx)
-    # (D, N, S) -> (N, S, D)
-    return out[:, :n, :s].transpose(1, 2, 0)
+    )(tab, idx)
+    # (D, S, N) -> (S, D, N): rows of the (Cin, N) weight are s*D + d
+    return out[:, :s, :n].transpose(1, 0, 2)
 
 
-def _block_n(requested: int, n: int, dtype) -> int:
-    """Clamp the row tile: >= the Mosaic sublane minimum for the output
-    dtype (16 rows for 16-bit types, 8 otherwise), <= the padded row
-    count."""
+def _block_s(requested: int, s: int, dtype) -> int:
+    """Clamp the subspace sublane tile: >= the Mosaic sublane minimum for
+    the output dtype (16 rows for 16-bit types, 8 otherwise), <= the
+    padded subspace count."""
     min_rows = 16 if jnp.dtype(dtype).itemsize == 2 else 8
-    return max(min_rows, min(requested, ceil_to(n, min_rows)))
+    return max(min_rows, min(requested, ceil_to(s, min_rows)))
 
 
 def decode_fc_weight_gather(
@@ -118,20 +134,18 @@ def decode_fc_weight_gather(
     assignments: jax.Array,
     in_features: int,
     *,
-    block_n: int = 512,
     block_s: int = 512,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """`lut.decode_fc_weight` via the Pallas gather kernel: (Cin, Cout)."""
+    """`lut.decode_fc_weight` via the Pallas lane-gather kernel:
+    (Cin, Cout)."""
     s, k, d = codebooks.shape
-    rows = _decode_rows(
+    sdn = _decode_sdn(
         codebooks, assignments,
-        block_n=_block_n(block_n, assignments.shape[0], codebooks.dtype),
-        block_s=min(block_s, ceil_to(s, 128)),
+        block_s=_block_s(block_s, s, codebooks.dtype),
         interpret=auto_interpret(interpret),
     )
-    w = rows.reshape(assignments.shape[0], s * d)[:, :in_features]
-    return w.T
+    return sdn.reshape(s * d, assignments.shape[0])[:in_features]
 
 
 def decode_conv_kernel_gather(
@@ -139,19 +153,18 @@ def decode_conv_kernel_gather(
     assignments: jax.Array,
     in_channels_per_group: int,
     *,
-    block_n: int = 512,
     block_s: int = 512,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """`lut.decode_conv_kernel` via the Pallas gather kernel:
+    """`lut.decode_conv_kernel` via the Pallas lane-gather kernel:
     (kh, kw, Cg, Cout) HWIO."""
     s, k, d = codebooks.shape
     cout, kh, kw, s2 = assignments.shape
-    rows = _decode_rows(
+    sdn = _decode_sdn(
         codebooks, assignments.reshape(cout * kh * kw, s),
-        block_n=_block_n(block_n, cout * kh * kw, codebooks.dtype),
-        block_s=min(block_s, ceil_to(s, 128)),
+        block_s=_block_s(block_s, s, codebooks.dtype),
         interpret=auto_interpret(interpret),
     )
-    w = rows.reshape(cout, kh, kw, s * d)[..., :in_channels_per_group]
-    return jnp.transpose(w, (1, 2, 3, 0))
+    # (S*D, Cout*kh*kw) -> (Cin_g, Cout, kh, kw) -> HWIO
+    w = sdn.reshape(s * d, cout, kh, kw)[:in_channels_per_group]
+    return jnp.transpose(w, (2, 3, 0, 1))

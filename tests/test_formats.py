@@ -185,3 +185,53 @@ class TestStreamingRead:
         rc.write_bin(path, labels)
         chunks = list(rc.read_bin_batches(path, np.uint16, 5))
         np.testing.assert_array_equal(np.concatenate(chunks), labels)
+
+
+class TestTxtCodec:
+    """The .txt debug/interchange format (ReadTxtFile/WriteTxtFile,
+    FileIO.h:180-227, :353-391): header line `dim_cnt dims...`, then one
+    space-separated line per trailing-dim row; floats print as %.4f."""
+
+    def test_int_roundtrip_exact(self, tmp_path, rng):
+        arr = rng.integers(0, 200, size=(5, 3, 7)).astype(np.int32)
+        p = tmp_path / "t.txt"
+        rc.write_txt(p, arr)
+        got = rc.read_txt(p, np.int32)
+        assert got.dtype == np.int32
+        np.testing.assert_array_equal(got, arr)
+
+    def test_float_roundtrip_at_format_precision(self, tmp_path, rng):
+        arr = rng.standard_normal((4, 6)).astype(np.float32)
+        p = tmp_path / "t.txt"
+        rc.write_txt(p, arr)
+        got = rc.read_txt(p, np.float32)
+        # %.4f quantizes to 1e-4 steps — the reference's lossy debug format
+        np.testing.assert_allclose(got, arr, atol=5.1e-5)
+
+    def test_line_structure_matches_reference(self, tmp_path):
+        """One header line + one line per trailing-dim row (the fprintf
+        newline rule at FileIO.h:381-382)."""
+        arr = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+        p = tmp_path / "t.txt"
+        rc.write_txt(p, arr)
+        lines = p.read_text().splitlines()
+        assert lines[0] == "3 2 3 4"
+        assert len(lines) == 1 + 2 * 3
+        assert lines[1] == "0.0000 1.0000 2.0000 3.0000"
+
+    def test_golden_shipped_bias_roundtrip(self, alexnet_bin_dir, tmp_path):
+        """Write/read a shipped tensor through .txt: values survive to the
+        format's %.4f precision."""
+        src = os.path.join(alexnet_bin_dir, "bvlc_alexnet_aCaF.biasVec.01.bin")
+        bias = read_bin(src, np.float32)
+        p = tmp_path / "bias.txt"
+        rc.write_txt(p, bias)
+        got = rc.read_txt(p, np.float32)
+        assert got.shape == bias.shape
+        np.testing.assert_allclose(got, bias, atol=5.1e-5)
+
+    def test_header_mismatch_raises(self, tmp_path):
+        p = tmp_path / "bad.txt"
+        p.write_text("2 2 3\n1 2 3\n")  # promises 6, provides 3
+        with pytest.raises(ValueError, match="promises 6"):
+            rc.read_txt(p, np.int32)

@@ -119,7 +119,7 @@ def test_pq_fc_fused_rejects_wide_codebooks(rng):
     from qcnn_tpu.ops.pallas import pq_fc_fused
 
     x, params = _mk(rng, 2, 32, 64, 8, 200, 4)
-    with pytest.raises(ValueError, match="K <= 127"):
+    with pytest.raises(ValueError, match="K <= 128"):
         pq_fc_fused(x, params, interpret=True)
 
 
@@ -316,7 +316,7 @@ def test_pq_fc_fused_gather_decode(rng, b, cin, cout, s, k, d):
         (1, 64, 256, 16, 32, 4),     # batch 1 — the kernel's target case
         (5, 60, 250, 15, 32, 4),     # ragged, Cin < S*D overhang
         (4, 64, 128, 64, 16, 1),     # scalar sub-spaces
-        (2, 96, 200, 12, 127, 8),    # K at the int8 limit
+        (2, 96, 200, 12, 128, 8),    # K at the one-vreg lane limit
     ],
 )
 def test_pq_fc_lut_gather_matches_gather(rng, b, cin, cout, s, k, d):
@@ -327,7 +327,7 @@ def test_pq_fc_lut_gather_matches_gather(rng, b, cin, cout, s, k, d):
     x, params = _mk(rng, b, cin, cout, s, k, d)
     ref = np.asarray(pq_fc_gather(x, params))
     got = np.asarray(
-        pq_fc_lut_gather(x, params, block_o=64, block_s=128, interpret=True)
+        pq_fc_lut_gather(x, params, block_s=128, interpret=True)
     )
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
@@ -336,6 +336,6 @@ def test_pq_fc_lut_gather_matches_gather(rng, b, cin, cout, s, k, d):
 def test_pq_fc_lut_gather_rejects_wide_codebooks(rng):
     from qcnn_tpu.ops.pallas import pq_fc_lut_gather
 
-    x, params = _mk(rng, 2, 32, 64, 8, 128, 4)
-    with pytest.raises(ValueError, match="K <= 127"):
+    x, params = _mk(rng, 2, 32, 64, 8, 200, 4)
+    with pytest.raises(ValueError, match="K <= 128"):
         pq_fc_lut_gather(x, params, interpret=True)

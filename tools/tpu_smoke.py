@@ -73,33 +73,37 @@ def main() -> int:
         got = np.asarray(pq_fc_pallas(jnp.asarray(x), p, interpret=False))
         want_f32 = np.asarray(pq_fc_decode(jnp.asarray(x), p))
         ok &= check(f"pq_fc_pallas/{name}", got, want_f32, 2e-2)
-        # dynamic-gather kernels (§9c/§9d) — compile may legitimately fail
-        # if this toolchain lacks tpu.dynamic_gather; report, don't crash
-        try:
-            got = np.asarray(pq_fc_fused(
-                jnp.asarray(x), p, interpret=False, decode="gather"))
-            ok &= check(f"pq_fc_fused-gather/{name}", got, want, 1e-4)
-        except Exception as e:  # noqa: BLE001
-            print(f"SKIP pq_fc_fused-gather/{name}: "
-                  f"{type(e).__name__}: {str(e)[:160]}", flush=True)
-        try:
-            from qcnn_tpu.ops import lut as lut_ops
+        # dynamic-gather kernels (§9c/§9d): lane orientation compiles on
+        # this toolchain (tools/pallas_gather_probe.py) — hard checks, no
+        # skips (round-2 ADVICE: skip-on-exception masked real kernel bugs)
+        from qcnn_tpu.ops import lut as lut_ops
 
-            wd = np.asarray(decode_fc_weight_gather(
-                p_bf["codebooks"], p["assignments"], cin, interpret=False))
-            wd_want = np.asarray(lut_ops.decode_fc_weight_onehot(
-                p_bf["codebooks"], p["assignments"], cin))
-            ok &= check(f"decode_gather/{name}", wd, wd_want, 1e-6)
-        except Exception as e:  # noqa: BLE001
-            print(f"SKIP decode_gather/{name}: "
-                  f"{type(e).__name__}: {str(e)[:160]}", flush=True)
-        try:
-            got = np.asarray(pq_fc_lut_gather(
-                jnp.asarray(x), p, interpret=False))
-            ok &= check(f"pq_fc_lut_gather/{name}", got, want_f32, 2e-2)
-        except Exception as e:  # noqa: BLE001
-            print(f"SKIP pq_fc_lut_gather/{name}: "
-                  f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+        got = np.asarray(pq_fc_fused(
+            jnp.asarray(x), p, interpret=False, decode="gather"))
+        ok &= check(f"pq_fc_fused-gather/{name}", got, want, 1e-4)
+        wd = np.asarray(decode_fc_weight_gather(
+            p_bf["codebooks"], p["assignments"], cin, interpret=False))
+        wd_want = np.asarray(lut_ops.decode_fc_weight_onehot(
+            p_bf["codebooks"], p["assignments"], cin))
+        ok &= check(f"decode_gather/{name}", wd, wd_want, 1e-6)
+        got = np.asarray(pq_fc_lut_gather(
+            jnp.asarray(x), p, interpret=False))
+        ok &= check(f"pq_fc_lut_gather/{name}", got, want_f32, 2e-2)
+
+    # conv gather decode (ResNet-style K=128 geometry — the memory-mode
+    # decode the one-hot path pays 32x MXU MACs for)
+    from qcnn_tpu.ops import lut as lut_ops
+    from qcnn_tpu.ops.pallas import decode_conv_kernel_gather
+
+    cb = jnp.asarray(
+        rng.standard_normal((16, 128, 4)).astype(np.float32) * 0.1,
+        jnp.bfloat16)
+    asmt_c = jnp.asarray(
+        rng.integers(0, 128, size=(64, 3, 3, 16), dtype=np.uint8))
+    wk = np.asarray(decode_conv_kernel_gather(cb, asmt_c, 64,
+                                              interpret=False))
+    wk_want = np.asarray(lut_ops.decode_conv_kernel_onehot(cb, asmt_c, 64))
+    ok &= check("decode_conv_gather/resnet-k128", wk, wk_want, 1e-6)
 
     # fused LRN (documented negative for perf, but must stay compiled-
     # correct: it is the in-tree Mosaic reference for the §2b study)
