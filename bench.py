@@ -205,6 +205,12 @@ def main() -> None:
                          "(GPipe schedule, parallel/pipeline.py)")
     ap.add_argument("--microbatches", type=int, default=0,
                     help="pipeline microbatches (default 2*pp)")
+    ap.add_argument("--lane-pad", action="store_true",
+                    help="opt-in exact conv1 C=96->128 lane pad "
+                         "(models/lanepad.py) — measured NEGATIVE at "
+                         "batch 256 (KERNEL_STUDIES §15: block-1 is "
+                         "HBM-bound; +33%% activation bytes beat the lane "
+                         "alignment win)")
     ap.add_argument("--cpu", action="store_true",
                     help="run on a virtual CPU mesh (pairs with --dp N / "
                          "--pp N; device count = max(dp, pp, 8))")
@@ -231,6 +237,7 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     from qcnn_tpu.models import synth
+    from qcnn_tpu.models.lanepad import lane_pad
     from qcnn_tpu.models.prepare import prepare_params
 
     log(f"jax {jax.__version__}, devices: {jax.devices()}")
@@ -285,14 +292,20 @@ def main() -> None:
         conv_impl=args.conv_impl, fc_impl=args.fc_impl, dtype=dtype,
         act_scales=act_scales,
     )
+    spec_run = spec
+    if args.lane_pad:
+        # exact C=96 -> 128 block-1 pad (models/lanepad.py) — measured
+        # negative end-to-end (KERNEL_STUDIES §15), kept as an opt-in
+        spec_run, prepared = lane_pad(spec, prepared)
     prepared = jax.device_put(prepared)
-    log(f"strategies: conv={conv_impls} fc={fc_impls} dtype={args.dtype}")
+    log(f"strategies: conv={conv_impls} fc={fc_impls} dtype={args.dtype}"
+        f" lane_pad={args.lane_pad}")
 
     import time as _time
 
     t_start = _time.perf_counter()
     per_step = measure_per_step(
-        spec, prepared, synth.random_input(spec, args.batch, seed=1),
+        spec_run, prepared, synth.random_input(spec, args.batch, seed=1),
         conv_impls, fc_impls, act_dtype, args.k1, args.k2, dp=args.dp,
     )
     imgs_per_sec = args.batch / per_step
@@ -310,7 +323,7 @@ def main() -> None:
     if _time.perf_counter() - t_start < budget_s:
         try:
             per_step1 = measure_per_step(
-                spec, prepared, synth.random_input(spec, 1, seed=2),
+                spec_run, prepared, synth.random_input(spec, 1, seed=2),
                 conv_impls, fc_impls, act_dtype,
                 max(args.k1, 8), max(args.k2, 64),
             )
@@ -353,8 +366,11 @@ def main() -> None:
                     conv_impl=conv_impl, fc_impl=fc_impl, dtype=dtype_s,
                     act_scales=scales,
                 )
+                spec_s = spec
+                if args.lane_pad:
+                    spec_s, prep_s = lane_pad(spec_s, prep_s)
                 t = measure_per_step(
-                    spec, jax.device_put(prep_s), x_sweep, ci_s, fi_s,
+                    spec_s, jax.device_put(prep_s), x_sweep, ci_s, fi_s,
                     act_dtype_s, args.k1, args.k2,
                 )
                 sweep[name] = round(args.batch / t, 2)

@@ -70,12 +70,19 @@ class ReLUSpec:
 @dataclasses.dataclass(frozen=True)
 class LRNSpec:
     """Across-channel local response normalization (CalcFeatMap_LoRN,
-    CaffeEva.cc:1038-1089): out = x * (k + alpha/n * sum_win x^2)^(-beta)."""
+    CaffeEva.cc:1038-1089): out = x * (k + alpha/n * sum_win x^2)^(-beta).
+
+    channel_map: when the surrounding convs carry lane-padded channels
+    (models/lanepad.py), maps each padded position to its original channel
+    index (-1 for zero padding) so the window sum spans the ORIGINAL
+    channel adjacency — e.g. AlexNet's LRN window crosses conv2's group
+    boundary, which padding would otherwise sever."""
 
     size: int
     alpha: float
     beta: float
     k: float
+    channel_map: Optional[tuple[int, ...]] = None
     kind: LayerKind = LayerKind.LRN
 
 

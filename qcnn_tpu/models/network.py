@@ -57,17 +57,23 @@ from qcnn_tpu.ops import (
 # layer geometry and batch (docs/KERNEL_STUDIES.md §9).
 CONV_IMPLS = ("decode", "indecode", "gdecode", "lut", "memory")
 FC_IMPLS = ("onehot", "gather", "decode", "indecode", "gdecode", "pallas",
-            "fused", "lutgather", "memory")
+            "fused", "fgather", "lutgather", "memory")
 
 
 def _memory_fc_impl(p: dict, batch: int) -> str:
-    """Best measured memory-mode FC kernel (KERNEL_STUDIES §9b): in-step
-    one-hot decode + dense GEMM ('indecode') beats the Pallas fused/onehot
-    kernels at every AlexNet FC geometry and batch (end-to-end full memory
-    mode: 41.5k img/s batch-256 vs 39.0k with fused FCs; 0.81 ms batch-1 vs
-    0.88 with pallas FCs). The geometry/batch arguments remain for future
-    per-layer overrides."""
-    return "indecode"
+    """Best measured memory-mode FC kernel per batch (KERNEL_STUDIES §9c/9d,
+    fc6-geometry A/B on the chip): batch-1 -> 'lutgather' (streams only the
+    uint8 assignments — Cout*S bytes, 8x less than even the decoded bf16
+    weight; measured below the timing floor vs indecode's 319 us); larger
+    batches -> 'fgather' (the fused decode-GEMM kernel with in-kernel lane
+    gather: 247-382 us vs indecode's 510-537 at fc6 B=8/256). lutgather's
+    cost is linear in B (B*Cout*S gathers), so the crossover is early.
+    K > 128 exceeds the one-vreg gather table; fall back to indecode."""
+    if p["codebooks"].shape[1] > 128:
+        return "indecode"
+    if batch <= 2:
+        return "lutgather"
+    return "fgather"
 
 
 def resolve_strategy(
@@ -223,7 +229,8 @@ def forward(
         elif isinstance(layer, ReLUSpec):
             x = relu(x)
         elif isinstance(layer, LRNSpec):
-            x = lrn(x, size=layer.size, alpha=layer.alpha, beta=layer.beta, k=layer.k)
+            x = lrn(x, size=layer.size, alpha=layer.alpha, beta=layer.beta,
+                    k=layer.k, channel_map=layer.channel_map)
         elif isinstance(layer, DropoutSpec):
             x = dropout_inference(x)
         elif isinstance(layer, SoftmaxSpec):

@@ -157,4 +157,8 @@ def pq_fc(x: jax.Array, params: dict, impl: str = "onehot") -> jax.Array:
         from qcnn_tpu.ops.pallas import pq_fc_fused
 
         return pq_fc_fused(x, params)
+    if impl == "fgather":
+        from qcnn_tpu.ops.pallas import pq_fc_fused
+
+        return pq_fc_fused(x, params, decode="gather")
     raise ValueError(f"unknown pq_fc impl: {impl}")

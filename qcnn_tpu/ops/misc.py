@@ -43,7 +43,7 @@ def caffe_max_pool(
 
 def lrn(
     x: jax.Array, *, size: int, alpha: float, beta: float, k: float,
-    impl: str = "auto",
+    impl: str = "auto", channel_map=None,
 ) -> jax.Array:
     """Across-channel local response normalization (CalcFeatMap_LoRN,
     CaffeEva.cc:1038-1089):
@@ -57,15 +57,28 @@ def lrn(
     band 561 us vs reduce_window 2730 us vs shifted-slices 2086 us vs a
     Pallas lane-roll kernel 2969 us (rolls on non-128 lane widths lower
     terribly) — all bit-identical outputs.
+
+    channel_map: lane-padded channel layout (models/lanepad.py; -1 =
+    padding). The window adjacency follows the ORIGINAL indices, expressed
+    in the band matrix — same matmul cost, any layout. Forces 'band'.
     """
+    if channel_map is not None:
+        m = jnp.asarray(channel_map, jnp.int32)
+        valid = m >= 0
+        band = (
+            (jnp.abs(m[:, None] - m[None, :]) <= (size - 1) // 2)
+            & valid[:, None] & valid[None, :]
+        ).astype(x.dtype)
+        impl = "band"
     if impl == "auto":
         impl = "band" if jax.default_backend() == "tpu" else "jnp"
     if impl == "band":
         c = x.shape[-1]
-        i = jnp.arange(c)
-        band = (
-            jnp.abs(i[:, None] - i[None, :]) <= (size - 1) // 2
-        ).astype(x.dtype)
+        if channel_map is None:
+            i = jnp.arange(c)
+            band = (
+                jnp.abs(i[:, None] - i[None, :]) <= (size - 1) // 2
+            ).astype(x.dtype)
         sq = x * x
         sq_sum = jnp.einsum(
             "...c,cd->...d", sq, band, preferred_element_type=jnp.float32

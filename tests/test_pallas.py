@@ -124,9 +124,9 @@ def test_pq_fc_fused_rejects_wide_codebooks(rng):
 
 
 def test_memory_strategy_resolution(rng):
-    """'memory' resolves to the in-step one-hot decode for both conv and fc
-    — the measured best memory-mode execution at every AlexNet geometry and
-    batch (KERNEL_STUDIES §9b)."""
+    """'memory' resolves per measurement (KERNEL_STUDIES §9b-9d): conv ->
+    in-step one-hot decode; fc -> lutgather at batch<=2, the fused
+    gather-decode GEMM otherwise (K<=128; indecode above)."""
     from qcnn_tpu.core import ConvSpec, FCSpec, ModelSpec, SoftmaxSpec
     from qcnn_tpu.models.network import resolve_strategy
 
@@ -157,7 +157,17 @@ def test_memory_strategy_resolution(rng):
         conv_i, fc_i = resolve_strategy(spec, params, batch, "memory",
                                         "memory")
         assert conv_i == ("indecode", "-", "-", "-")
-        assert fc_i == ("-", "indecode", "indecode", "-")
+        assert fc_i == ("-", "fgather", "fgather", "-")
+    conv_i, fc_i = resolve_strategy(spec, params, 1, "memory", "memory")
+    assert fc_i == ("-", "lutgather", "lutgather", "-")
+    # K > 128 exceeds the one-vreg gather table -> indecode fallback
+    params_wide = list(params)
+    params_wide[1] = dict(
+        params[1],
+        codebooks=np.zeros((64, 256, 4), np.float32),
+    )
+    _, fc_i = resolve_strategy(spec, params_wide, 256, "memory", "memory")
+    assert fc_i == ("-", "indecode", "fgather", "-")
 
 
 # ---------------------------------------------------------------------------
