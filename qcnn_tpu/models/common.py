@@ -1,14 +1,52 @@
 """Shared family-model knobs (ResNet/ViT — models/resnet.py, models/vit.py).
 
-MEMORY_IMPL selects the in-graph PQ decode formulation used when params
-still carry codebooks (memory mode / unprepared params):
+MEMORY_IMPL selects the in-graph PQ CONV decode formulation used when
+params still carry codebooks (memory mode / unprepared params):
 
 - "indecode": one-hot MXU matmul decode (KERNEL_STUDIES §9b — XLA's gather
   lowering is ~300x off roofline, the one-hot contraction is not);
-- "gdecode": Pallas dynamic-gather kernel (ops/pallas/pq_decode.py, §9c).
+- "indecode_ohwi": one-hot decode consumed in its native (Cout,kh,kw,Cg)
+  order — no post-decode relayout (§9e);
+- "gdecode"/"gdecode_iohw": Pallas dynamic-gather kernel
+  (ops/pallas/pq_decode.py, §9c), HWIO / layout-preserving.
 
-One shared constant so A/B tools (tools/decode_gather_ab.py) and a measured
-flip change exactly one value for every family.
+MEMORY_FC_IMPL selects the FC formulation; "auto" applies the measured
+per-batch rule (ops/fc.py memory_fc_impl: lutgather at B<=2, fused-gather
+GEMM otherwise, indecode for K>128 — §9c/§9d).
+
+One shared constant each, so A/B tools (tools/decode_gather_ab.py) and a
+measured flip change exactly one value for every family.
 """
 
-MEMORY_IMPL = "indecode"
+# indecode_ohwi: same one-hot decode, conv consumes the native layout —
+# measured at-worst-neutral e2e (resnet50 b64: 9.00 vs 9.17 ms, inside the
+# noise band) and strictly removes a full-weight relayout.
+MEMORY_IMPL = "indecode_ohwi"
+MEMORY_FC_IMPL = "auto"
+
+
+def fc_memory_impl(batch: int, num_codewords: int, dtype=None) -> str:
+    """Resolve MEMORY_FC_IMPL for a concrete call site.
+
+    dtype: the activation dtype at the call site. The fused-gather kernel
+    computes in bf16 internally, so it only serves bf16 activations; f32
+    callers (quantizer validation, exactness tests) keep the
+    param-dtype-exact one-hot decode."""
+    if MEMORY_FC_IMPL != "auto":
+        return MEMORY_FC_IMPL
+    if num_codewords > 128:
+        return "indecode"
+    import jax.numpy as jnp
+
+    if dtype is not None and jnp.dtype(dtype) != jnp.bfloat16:
+        return "indecode"
+    if batch <= 2:
+        return "lutgather"
+    # The fused kernel pre-transposes x to (D, B, S); at row counts far
+    # above the weight height that relayout dominates (measured: ViT-B/16
+    # b32 = 6304 projection rows -> 40.5 ms/step vs 13.8 with indecode,
+    # tools/out/decode_layout_ab.txt). fc6-scale batches (<= ~1k rows)
+    # win with fgather (§9c table).
+    if batch > 1024:
+        return "indecode"
+    return "fgather"

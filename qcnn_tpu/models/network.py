@@ -60,7 +60,7 @@ FC_IMPLS = ("onehot", "gather", "decode", "indecode", "gdecode", "pallas",
             "fused", "fgather", "lutgather", "memory")
 
 
-def _memory_fc_impl(p: dict, batch: int) -> str:
+def _memory_fc_impl(p: dict, batch: int, dtype=None) -> str:
     """Best measured memory-mode FC kernel per batch (KERNEL_STUDIES §9c/9d,
     fc6-geometry A/B on the chip): batch-1 -> 'lutgather' (streams only the
     uint8 assignments — Cout*S bytes, 8x less than even the decoded bf16
@@ -68,12 +68,12 @@ def _memory_fc_impl(p: dict, batch: int) -> str:
     batches -> 'fgather' (the fused decode-GEMM kernel with in-kernel lane
     gather: 247-382 us vs indecode's 510-537 at fc6 B=8/256). lutgather's
     cost is linear in B (B*Cout*S gathers), so the crossover is early.
-    K > 128 exceeds the one-vreg gather table; fall back to indecode."""
-    if p["codebooks"].shape[1] > 128:
-        return "indecode"
-    if batch <= 2:
-        return "lutgather"
-    return "fgather"
+    K > 128 (one-vreg gather table) and f32 activations (the fused kernel
+    computes bf16) fall back to indecode — one shared rule with the model
+    families (models/common.py)."""
+    from qcnn_tpu.models import common
+
+    return common.fc_memory_impl(batch, p["codebooks"].shape[1], dtype)
 
 
 def resolve_strategy(
@@ -82,8 +82,12 @@ def resolve_strategy(
     batch: int,
     conv_impl: str = "auto",
     fc_impl: str = "auto",
+    dtype=None,
 ) -> tuple[tuple[str, ...], tuple[str, ...]]:
-    """Resolve ('auto' | explicit) strategy names per layer index."""
+    """Resolve ('auto' | explicit) strategy names per layer index.
+
+    dtype: the execution dtype (prepare_params' dtype); the fc 'memory'
+    rule keeps f32 runs on the exact one-hot decode."""
     conv_choices = []
     fc_choices = []
     for layer, p in zip(spec.layers, params):
@@ -93,11 +97,12 @@ def resolve_strategy(
             elif conv_impl == "auto":
                 conv_choices.append("decode")
             elif conv_impl == "memory":
-                # Best measured memory-mode conv: in-step decode (the dense
-                # kernel is a transient; conv codebooks/assignments are the
-                # only resident weights). The XLA conv-over-LUT-channels
-                # path ('lut') loses at every batch (KERNEL_STUDIES §9b).
-                conv_choices.append("indecode")
+                # Best measured memory-mode conv: in-step one-hot decode
+                # consumed in its native OHWI layout (the dense kernel is a
+                # transient; conv codebooks/assignments are the only
+                # resident weights). Gather decode and the LUT-channel conv
+                # both lose or tie e2e (KERNEL_STUDIES §9b/§9e).
+                conv_choices.append("indecode_ohwi")
             else:
                 conv_choices.append(conv_impl)
             fc_choices.append("-")
@@ -107,7 +112,7 @@ def resolve_strategy(
             elif fc_impl == "auto":
                 fc_choices.append("decode")
             elif fc_impl == "memory":
-                fc_choices.append(_memory_fc_impl(p, batch))
+                fc_choices.append(_memory_fc_impl(p, batch, dtype))
             else:
                 fc_choices.append(fc_impl)
             conv_choices.append("-")
@@ -159,7 +164,9 @@ def forward(
         conv_strat, fc_strat = conv_impls, fc_impls
     else:
         conv_strat, fc_strat = resolve_strategy(
-            spec, params, x.shape[0], conv_impl, fc_impl
+            spec, params, x.shape[0], conv_impl, fc_impl,
+            dtype=(compute_dtype if compute_dtype is not None
+                   else jnp.float32),
         )
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

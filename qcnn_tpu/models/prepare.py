@@ -105,7 +105,8 @@ def prepare_params(
     in the dict skip the dynamic amax pass at runtime.
     """
     conv_strat, fc_strat = network.resolve_strategy(
-        spec, params, batch_hint, conv_impl, fc_impl
+        spec, params, batch_hint, conv_impl, fc_impl,
+        dtype=(jnp.bfloat16 if _is_int8(dtype) else dtype),
     )
 
     def with_act_scale(d: dict, i: int) -> dict:

@@ -159,8 +159,10 @@ def _proj(x, p):
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     if "codebooks" in p:
-        # in-graph PQ decode formulation: models/common.py MEMORY_IMPL
-        y = fc_ops.pq_fc(x2, p, impl=common.MEMORY_IMPL)
+        # in-graph PQ FC formulation: models/common.py MEMORY_FC_IMPL
+        # (per-batch rule — ViT projections see B*tokens rows)
+        y = fc_ops.pq_fc(x2, p, impl=common.fc_memory_impl(
+            x2.shape[0], p["codebooks"].shape[1], x2.dtype))
     elif "weight_q" in p:
         y = fc_ops.fc_dense_int8(
             x2, p["weight_q"], p["scale"], p["bias"],

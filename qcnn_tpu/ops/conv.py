@@ -77,11 +77,16 @@ def conv_dense(
     pad: int,
     groups: int = 1,
     space_to_depth: bool = False,
+    kernel_layout: str = "HWIO",
 ) -> jax.Array:
     """x: (B,H,W,Cin), kernel: (kh,kw,Cin/groups,Cout) -> (B,Ho,Wo,Cout).
 
     Computes in the kernel's dtype (bf16 kernels -> bf16 MXU passes) with
     float32 accumulation; output is float32 + bias.
+
+    kernel_layout: any permutation of HWIO — XLA consumes arbitrary kernel
+    orders natively, so in-step decoders can hand over their decode-native
+    layout and skip a full-weight relayout (KERNEL_STUDIES §9e).
 
     space_to_depth=True rewrites a strided small-Cin stem conv via
     _space_to_depth_transform. Measured on the attached chip it LOSES
@@ -94,6 +99,7 @@ def conv_dense(
     out_hw = None
     if (
         space_to_depth
+        and kernel_layout == "HWIO"
         and pad == 0 and stride > 1 and groups == 1
         and x.shape[-1] <= 4 and kernel.shape[0] > stride
     ):
@@ -111,7 +117,7 @@ def conv_dense(
         kernel,
         window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
-        dimension_numbers=_DN,
+        dimension_numbers=("NHWC", kernel_layout, "NHWC"),
         feature_group_count=groups,
         preferred_element_type=jnp.float32,
     )
@@ -159,19 +165,35 @@ def pq_conv_decode(
     ('indecode') memory-mode configuration, where the gather lowering is
     hopeless on TPU (KERNEL_STUDIES §9b)."""
     cin_per_group = x.shape[-1] // groups
+    kernel_layout = "HWIO"
     if via == "onehot":
         decode = lut_ops.decode_conv_kernel_onehot
+    elif via == "onehot_ohwi":
+        # decode-native order, no post-decode transpose (§9e)
+        def decode(cb, a, cg):
+            return lut_ops.decode_conv_kernel_onehot(cb, a, cg,
+                                                     layout="ohwi")
+
+        kernel_layout = "OHWI"
     elif via == "gdecode":
         from qcnn_tpu.ops.pallas import decode_conv_kernel_gather
 
         decode = decode_conv_kernel_gather
+    elif via == "gdecode_iohw":
+        from qcnn_tpu.ops.pallas import decode_conv_kernel_gather
+
+        def decode(cb, a, cg):
+            return decode_conv_kernel_gather(cb, a, cg, layout="iohw")
+
+        kernel_layout = "IOHW"
     else:
         decode = lut_ops.decode_conv_kernel
     kernel = decode(
         params["codebooks"], params["assignments"], cin_per_group
     )
     return conv_dense(
-        x, kernel, params["bias"], stride=stride, pad=pad, groups=groups
+        x, kernel, params["bias"], stride=stride, pad=pad, groups=groups,
+        kernel_layout=kernel_layout,
     )
 
 
@@ -251,6 +273,13 @@ def pq_conv(
         # in-step decode via the Pallas dynamic-gather kernel
         return pq_conv_decode(
             x, params, stride=stride, pad=pad, groups=groups, via="gdecode"
+        )
+    if impl in ("indecode_ohwi", "gdecode_iohw"):
+        # layout-preserving in-step decodes: the conv consumes the decode's
+        # native kernel order, skipping the full-weight relayout (§9e)
+        via = "onehot_ohwi" if impl == "indecode_ohwi" else "gdecode_iohw"
+        return pq_conv_decode(
+            x, params, stride=stride, pad=pad, groups=groups, via=via
         )
     if impl == "lut":
         return pq_conv_lut(x, params, stride=stride, pad=pad, groups=groups)

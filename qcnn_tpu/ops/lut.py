@@ -137,13 +137,18 @@ def _onehot_compare(assignments: jax.Array, k: int, dtype) -> jax.Array:
 
 
 def decode_conv_kernel_onehot(
-    codebooks: jax.Array, assignments: jax.Array, in_channels_per_group: int
+    codebooks: jax.Array, assignments: jax.Array, in_channels_per_group: int,
+    layout: str = "hwio",
 ) -> jax.Array:
     """decode_conv_kernel via one-hot matmul (see decode_fc_weight_onehot).
 
     Conv one-hot operands are small (AlexNet total ~75 MB bf16 transient),
     so this makes in-step conv decode cheap where the gather lowering is
     hopeless — the basis of the conv 'indecode' memory strategy.
+
+    layout='ohwi' returns the einsum's NATIVE (Cout, kh, kw, Cg) order —
+    no post-decode transpose; consume via conv_dense(kernel_layout='OHWI')
+    (KERNEL_STUDIES §9e).
     """
     s, k, d = codebooks.shape
     cout, kh, kw, s2 = assignments.shape
@@ -152,6 +157,8 @@ def decode_conv_kernel_onehot(
         codebooks,
     )
     w = w.reshape(cout, kh, kw, s * d)[..., :in_channels_per_group]
+    if layout == "ohwi":
+        return w
     return jnp.transpose(w, (1, 2, 3, 0))
 
 

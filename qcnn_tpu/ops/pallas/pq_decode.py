@@ -62,9 +62,28 @@ def _decode_kernel(tab_ref, asmt_ref, out_ref, *, d_len):
         out_ref[d] = gather_lanes(tab_ref[d], idx).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
-def _decode_sdn(codebooks, assignments, *, block_s, interpret):
-    """Decode (N, S) assignments to (S, D, N) codeword components."""
+def _decode_kernel_sdn(tab_ref, asmt_ref, out_ref, *, d_len):
+    """Like _decode_kernel but out is (Sb, D, 128) — out[s, d, n] =
+    tab[d, s, asmt[s, n]], i.e. rows already in the weight's Cin order
+    (s*D + d), so the consumer needs NO post-kernel transpose (the XLA
+    relayouts cost 2 full weight round-trips; KERNEL_STUDIES §9e). The
+    writes are per-d masked sublane stores into the (D, 128)-tiled block."""
+    idx = asmt_ref[:].astype(jnp.int32)
+    for d in range(d_len):
+        out_ref[:, d, :] = gather_lanes(tab_ref[d], idx).astype(
+            out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_s", "interpret", "interleaved")
+)
+def _decode_sdn(codebooks, assignments, *, block_s, interpret,
+                interleaved=False):
+    """Decode (N, S) assignments to (S, D, N) codeword components.
+
+    interleaved=True writes rows in Cin order inside the kernel and
+    returns the raw padded (S_pad, D, N_pad) buffer (callers reshape/slice
+    — views) instead of paying a post-kernel XLA transpose."""
     s, k, d = codebooks.shape
     if k > _LANES:
         raise ValueError(
@@ -88,33 +107,52 @@ def _decode_sdn(codebooks, assignments, *, block_s, interpret):
     )
 
     grid = (s_pad // block_s, n_pad // _LANES)
+    cost = pl.CostEstimate(
+        flops=0,
+        bytes_accessed=(
+            s_pad * n_pad
+            + d * s_pad * n_pad * codebooks.dtype.itemsize
+            + s_pad * _LANES * d * 4
+        ),
+        transcendentals=0,
+    )
+    in_specs = [
+        pl.BlockSpec(
+            (d, block_s, _LANES), lambda i, j: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (block_s, _LANES), lambda i, j: (i, j),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if interleaved:
+        # rows already in Cin order (s*D + d): reshape is a view, no
+        # post-kernel transpose (KERNEL_STUDIES §9e)
+        out = pl.pallas_call(
+            functools.partial(_decode_kernel_sdn, d_len=d),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (block_s, d, _LANES), lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (s_pad, d, n_pad), codebooks.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(tab, idx)
+        return out  # (S_pad, D, N_pad); caller reshapes/slices (views)
     out = pl.pallas_call(
         functools.partial(_decode_kernel, d_len=d),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (d, block_s, _LANES), lambda i, j: (0, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (block_s, _LANES), lambda i, j: (i, j),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (d, block_s, _LANES), lambda i, j: (0, i, j),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((d, s_pad, n_pad), codebooks.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=0,
-            bytes_accessed=(
-                s_pad * n_pad
-                + d * s_pad * n_pad * codebooks.dtype.itemsize
-                + s_pad * _LANES * d * 4
-            ),
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
         interpret=interpret,
     )(tab, idx)
     # (D, S, N) -> (S, D, N): rows of the (Cin, N) weight are s*D + d
@@ -136,16 +174,27 @@ def decode_fc_weight_gather(
     *,
     block_s: int = 512,
     interpret: bool | None = None,
+    interleaved: bool = True,
 ) -> jax.Array:
     """`lut.decode_fc_weight` via the Pallas lane-gather kernel:
-    (Cin, Cout)."""
+    (Cin, Cout).
+
+    interleaved=True (default) writes Cin-ordered rows in-kernel so the
+    only post-kernel work is reshape views + the row/col slices; False
+    keeps the d-major kernel + XLA transpose (A/B'd in KERNEL_STUDIES §9e).
+    """
     s, k, d = codebooks.shape
+    cout = assignments.shape[0]
     sdn = _decode_sdn(
         codebooks, assignments,
         block_s=_block_s(block_s, s, codebooks.dtype),
         interpret=auto_interpret(interpret),
+        interleaved=interleaved,
     )
-    return sdn.reshape(s * d, assignments.shape[0])[:in_features]
+    if interleaved:
+        s_pad = sdn.shape[0]
+        return sdn.reshape(s_pad * d, -1)[:in_features, :cout]
+    return sdn.reshape(s * d, cout)[:in_features]
 
 
 def decode_conv_kernel_gather(
@@ -155,13 +204,29 @@ def decode_conv_kernel_gather(
     *,
     block_s: int = 512,
     interpret: bool | None = None,
+    layout: str = "hwio",
 ) -> jax.Array:
-    """`lut.decode_conv_kernel` via the Pallas lane-gather kernel:
-    (kh, kw, Cg, Cout) HWIO."""
+    """`lut.decode_conv_kernel` via the Pallas lane-gather kernel.
+
+    layout='hwio' -> (kh, kw, Cg, Cout); layout='iohw' -> (Cg, Cout, kh,
+    kw) built from the interleaved kernel with NO post-kernel transpose
+    (consume via conv_dense(kernel_layout='IOHW'); KERNEL_STUDIES §9e).
+    """
     s, k, d = codebooks.shape
     cout, kh, kw, s2 = assignments.shape
+    n = cout * kh * kw
+    if layout == "iohw":
+        sdn = _decode_sdn(
+            codebooks, assignments.reshape(n, s),
+            block_s=_block_s(block_s, s, codebooks.dtype),
+            interpret=auto_interpret(interpret),
+            interleaved=True,
+        )
+        s_pad = sdn.shape[0]
+        w = sdn.reshape(s_pad * d, -1)[:in_channels_per_group, :n]
+        return w.reshape(in_channels_per_group, cout, kh, kw)
     sdn = _decode_sdn(
-        codebooks, assignments.reshape(cout * kh * kw, s),
+        codebooks, assignments.reshape(n, s),
         block_s=_block_s(block_s, s, codebooks.dtype),
         interpret=auto_interpret(interpret),
     )

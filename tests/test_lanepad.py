@@ -2,8 +2,6 @@
 pad against the unpadded forward, incl. the LRN channel_map band and the
 grouped-consumer layout (AlexNet conv2 groups=2, CaffePara.cc:29-36)."""
 
-import dataclasses
-
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -156,7 +156,7 @@ def test_memory_strategy_resolution(rng):
     for batch in (8, 256):
         conv_i, fc_i = resolve_strategy(spec, params, batch, "memory",
                                         "memory")
-        assert conv_i == ("indecode", "-", "-", "-")
+        assert conv_i == ("indecode_ohwi", "-", "-", "-")
         assert fc_i == ("-", "fgather", "fgather", "-")
     conv_i, fc_i = resolve_strategy(spec, params, 1, "memory", "memory")
     assert fc_i == ("-", "lutgather", "lutgather", "-")
@@ -349,3 +349,64 @@ def test_pq_fc_lut_gather_rejects_wide_codebooks(rng):
     x, params = _mk(rng, 2, 32, 64, 8, 200, 4)
     with pytest.raises(ValueError, match="K <= 128"):
         pq_fc_lut_gather(x, params, interpret=True)
+
+
+@pytest.mark.parametrize(
+    "cout,kh,kw,s,k,d,cg",
+    [
+        (96, 11, 11, 1, 32, 8, 3),   # overhang (3 < 8)
+        (64, 3, 3, 16, 128, 4, 64),  # ResNet-style 3x3, K=128
+        (40, 1, 1, 9, 16, 4, 36),    # 1x1 projection, ragged Cout
+    ],
+)
+def test_decode_conv_gather_iohw_layout(rng, cout, kh, kw, s, k, d, cg):
+    """layout='iohw' (interleaved kernel, no post-transpose) must equal the
+    HWIO decode re-ordered."""
+    from qcnn_tpu.ops import lut
+    from qcnn_tpu.ops.pallas import decode_conv_kernel_gather
+
+    cb = rng.standard_normal((s, k, d)).astype(np.float32)
+    asmt = rng.integers(0, k, size=(cout, kh, kw, s), dtype=np.uint8)
+    want = np.asarray(lut.decode_conv_kernel(jnp.asarray(cb), asmt, cg))
+    got = np.asarray(decode_conv_kernel_gather(
+        jnp.asarray(cb), jnp.asarray(asmt), cg, layout="iohw",
+        interpret=True))
+    assert got.shape == (cg, cout, kh, kw)
+    np.testing.assert_array_equal(np.transpose(got, (2, 3, 0, 1)), want)
+
+
+def test_decode_fc_gather_interleaved_matches(rng):
+    from qcnn_tpu.ops import lut
+    from qcnn_tpu.ops.pallas import decode_fc_weight_gather
+
+    s, k, d, cout, cin = 33, 32, 4, 100, 130
+    cb = rng.standard_normal((s, k, d)).astype(np.float32)
+    asmt = rng.integers(0, k, size=(cout, s), dtype=np.uint8)
+    want = np.asarray(lut.decode_fc_weight(jnp.asarray(cb), asmt, cin))
+    for interleaved in (False, True):
+        got = np.asarray(decode_fc_weight_gather(
+            jnp.asarray(cb), jnp.asarray(asmt), cin, interpret=True,
+            interleaved=interleaved))
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("impl", ["indecode_ohwi", "gdecode_iohw"])
+def test_pq_conv_layout_impls_match_decode(rng, impl):
+    """The layout-preserving conv impls are bit-compatible with 'decode'
+    (stride/pad/groups exercised)."""
+    from qcnn_tpu.ops.conv import pq_conv
+
+    s, k, d = 12, 16, 4
+    cout, kh, kw, groups = 32, 3, 3, 2
+    cg = s * d // 1  # per-group channels = S*D
+    cb = rng.standard_normal((s, k, d)).astype(np.float32)
+    asmt = rng.integers(0, k, size=(cout, kh, kw, s), dtype=np.uint8)
+    params = {"codebooks": jnp.asarray(cb), "assignments": jnp.asarray(asmt),
+              "bias": jnp.asarray(rng.standard_normal(cout), jnp.float32)}
+    x = jnp.asarray(
+        rng.standard_normal((2, 9, 9, cg * groups)), jnp.float32)
+    want = np.asarray(pq_conv(x, params, stride=2, pad=1, groups=groups,
+                              impl="decode"))
+    got = np.asarray(pq_conv(x, params, stride=2, pad=1, groups=groups,
+                             impl=impl))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -84,9 +84,24 @@ def main() -> int:
 
     batch = 64
     spec = resnet.resnet50()
-    params = resnet.prepare_params(
-        spec, resnet.init_dense_params(spec, seed=0), dtype=jnp.bfloat16
-    )
+    memory = "--memory" in sys.argv
+    dense = resnet.init_dense_params(spec, seed=0)
+    if memory:
+        # memory-mode per-stage profile: where does the in-step decode's
+        # cost land? (KERNEL_STUDIES §9e). --impl X overrides the conv
+        # decode formulation (models/common.py MEMORY_IMPL).
+        from qcnn_tpu.models import common
+
+        if "--impl" in sys.argv:
+            common.MEMORY_IMPL = sys.argv[sys.argv.index("--impl") + 1]
+        pq = resnet.quantize_params(spec, dense)
+        params = resnet.prepare_params(
+            spec, pq, dtype=jnp.bfloat16, memory=True
+        )
+        print("profiling MEMORY mode (in-step decode, "
+              f"conv={common.MEMORY_IMPL})", file=sys.stderr, flush=True)
+    else:
+        params = resnet.prepare_params(spec, dense, dtype=jnp.bfloat16)
     params = jax.device_put(params)
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal((batch, 224, 224, 3)),
