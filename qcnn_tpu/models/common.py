@@ -18,9 +18,12 @@ One shared constant each, so A/B tools (tools/decode_gather_ab.py) and a
 measured flip change exactly one value for every family.
 """
 
-# indecode_ohwi: same one-hot decode, conv consumes the native layout —
-# measured at-worst-neutral e2e (resnet50 b64: 9.00 vs 9.17 ms, inside the
-# noise band) and strictly removes a full-weight relayout.
+# indecode_ohwi: one-hot decode consumed in its native OHWI layout.
+# Measured best one-program memory conv (KERNEL_STUDIES §9f): the im2col
+# GEMM reroute ('memory'/'gemm') that should dodge the computed-weight
+# conv relayout LOSES e2e (resnet50 b64 10.4 vs 8.9 ms) — patch
+# materialization via conv_general_dilated_patches costs more than the
+# relayout it saves; kept opt-in as the recorded negative.
 MEMORY_IMPL = "indecode_ohwi"
 MEMORY_FC_IMPL = "auto"
 

@@ -55,7 +55,7 @@ from qcnn_tpu.ops import (
 # dense weight INSIDE the jitted step (dense copy is a per-layer transient,
 # never stored); "memory" picks the best measured memory-mode kernel per
 # layer geometry and batch (docs/KERNEL_STUDIES.md §9).
-CONV_IMPLS = ("decode", "indecode", "gdecode", "lut", "memory")
+CONV_IMPLS = ("decode", "indecode", "gdecode", "gemm", "lut", "memory")
 FC_IMPLS = ("onehot", "gather", "decode", "indecode", "gdecode", "pallas",
             "fused", "fgather", "lutgather", "memory")
 
@@ -97,11 +97,10 @@ def resolve_strategy(
             elif conv_impl == "auto":
                 conv_choices.append("decode")
             elif conv_impl == "memory":
-                # Best measured memory-mode conv: in-step one-hot decode
-                # consumed in its native OHWI layout (the dense kernel is a
-                # transient; conv codebooks/assignments are the only
-                # resident weights). Gather decode and the LUT-channel conv
-                # both lose or tie e2e (KERNEL_STUDIES §9b/§9e).
+                # Best measured one-program memory conv: one-hot decode
+                # consumed in its native OHWI layout (the im2col GEMM
+                # reroute measured worse e2e — §9f). The dense kernel is a
+                # per-layer transient either way.
                 conv_choices.append("indecode_ohwi")
             else:
                 conv_choices.append(conv_impl)

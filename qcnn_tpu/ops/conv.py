@@ -175,6 +175,14 @@ def pq_conv_decode(
                                                      layout="ohwi")
 
         kernel_layout = "OHWI"
+    elif via == "onehot_hwoi":
+        # row-major HWOI == the conv's preferred physical kernel layout:
+        # the decode fusion's output feeds the conv with no relayout (§9f)
+        def decode(cb, a, cg):
+            return lut_ops.decode_conv_kernel_onehot(cb, a, cg,
+                                                     layout="hwoi")
+
+        kernel_layout = "HWOI"
     elif via == "gdecode":
         from qcnn_tpu.ops.pallas import decode_conv_kernel_gather
 
@@ -195,6 +203,78 @@ def pq_conv_decode(
         x, kernel, params["bias"], stride=stride, pad=pad, groups=groups,
         kernel_layout=kernel_layout,
     )
+
+
+def _gemm_wins(x_shape, cout: int, kh: int, kw: int, groups: int,
+               stride: int, pad: int) -> bool:
+    """Crossover for the 'memory' conv impl (KERNEL_STUDIES §9f): the
+    im2col GEMM saves the conv's computed-weight relayout (~0.38 XLA-
+    estimated cycles/weight element) but pays the patch materialization
+    (~0.002 cycles/patch element at HBM speed). With margin, choose GEMM
+    when weight elements x 50 exceed patch elements."""
+    if kh == 1 and kw == 1:
+        return False  # 1x1 relayouts are cheap (measured ~200 cycles)
+    if groups != 1:
+        return False
+    b, h, w, cin = x_shape
+    ho = (h + 2 * pad - kh) // stride + 1
+    wo = (w + 2 * pad - kw) // stride + 1
+    weight_elems = kh * kw * cin * cout
+    patch_elems = b * ho * wo * cin * kh * kw
+    return weight_elems * 50 > patch_elems
+
+
+def pq_conv_gemm(
+    x: jax.Array, params: dict, *, stride: int, pad: int, groups: int = 1,
+    via: str = "gather",
+) -> jax.Array:
+    """In-step decode + im2col GEMM (memory mode, KERNEL_STUDIES §9f).
+
+    lax.conv on TPU wants its kernel in a specific physical layout;
+    COMPUTED weights (in-step decodes) pay a relayout copy per conv that
+    XLA estimates at ~0.4 cycles/element — 0.94 ms per stage3 3x3 conv,
+    the entire resnet50 memory-mode gap. Dots take computed operands in
+    their natural layout, so weight-heavy multi-tap convs run as
+    patches @ decoded-weight instead:
+
+      patches (B*Ho*Wo, Cin*kh*kw)   [lax.conv_general_dilated_patches,
+                                      feature order (C, kh, kw) — verified]
+      weight  (Cin*kh*kw, Cout)      [decode rows = Cin, cols packed
+                                      (kh, kw, Cout) -> reshape views only]
+
+    Only worthwhile when the weight is large relative to the patch tensor
+    (the 9x activation inflation is the price); pq_conv's 'memory' impl
+    applies the measured crossover.
+    """
+    if groups != 1:
+        raise ValueError("pq_conv_gemm supports groups == 1")
+    cb = params["codebooks"]
+    a = params["assignments"]
+    s, k, d = cb.shape
+    cout, kh, kw, s2 = a.shape
+    cg = x.shape[-1]
+    # assignment rows packed (kh, kw, Cout): decode columns line up with
+    # the (c, ij) patch features after a pure reshape
+    a2 = jnp.transpose(jnp.asarray(a), (1, 2, 0, 3)).reshape(
+        kh * kw * cout, s)
+    if via == "gather":
+        from qcnn_tpu.ops.pallas import decode_fc_weight_gather
+
+        w = decode_fc_weight_gather(cb, a2, cg)  # (Cin, kh*kw*Cout)
+    else:
+        w = lut_ops.decode_fc_weight_onehot(cb, a2, cg)
+    w2 = w.reshape(cg * kh * kw, cout)
+    patches = lax.conv_general_dilated_patches(
+        x, (kh, kw), (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    b, ho, wo, f = patches.shape
+    out = lax.dot_general(
+        patches.reshape(b * ho * wo, f).astype(w2.dtype), w2,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, ho, wo, cout) + params["bias"]
 
 
 def pq_conv_lut(
@@ -274,12 +354,27 @@ def pq_conv(
         return pq_conv_decode(
             x, params, stride=stride, pad=pad, groups=groups, via="gdecode"
         )
-    if impl in ("indecode_ohwi", "gdecode_iohw"):
+    if impl in ("indecode_ohwi", "indecode_hwoi", "gdecode_iohw"):
         # layout-preserving in-step decodes: the conv consumes the decode's
-        # native kernel order, skipping the full-weight relayout (§9e)
-        via = "onehot_ohwi" if impl == "indecode_ohwi" else "gdecode_iohw"
+        # native kernel order, skipping the full-weight relayout (§9e/9f)
+        via = {"indecode_ohwi": "onehot_ohwi",
+               "indecode_hwoi": "onehot_hwoi",
+               "gdecode_iohw": "gdecode_iohw"}[impl]
         return pq_conv_decode(
             x, params, stride=stride, pad=pad, groups=groups, via=via
+        )
+    if impl in ("gemm", "memory"):
+        s, k, d = params["codebooks"].shape
+        cout, kh, kw, _ = params["assignments"].shape
+        if impl == "gemm" or _gemm_wins(x.shape, cout, kh, kw, groups,
+                                        stride, pad):
+            via = "gather" if k <= 128 else "onehot"
+            return pq_conv_gemm(
+                x, params, stride=stride, pad=pad, groups=groups, via=via
+            )
+        return pq_conv_decode(
+            x, params, stride=stride, pad=pad, groups=groups,
+            via="onehot_ohwi",
         )
     if impl == "lut":
         return pq_conv_lut(x, params, stride=stride, pad=pad, groups=groups)

@@ -152,6 +152,19 @@ def decode_conv_kernel_onehot(
     """
     s, k, d = codebooks.shape
     cout, kh, kw, s2 = assignments.shape
+    if layout == "hwoi":
+        # decode directly in (kh, kw, Cout, Cg) order: row-major HWOI IS
+        # the TPU conv's preferred physical kernel layout (lanes = Cg,
+        # sublanes = Cout — measured from the §9e HLO), so the conv
+        # consumes the decode fusion's output with NO relayout copy. The
+        # transposed one-hot comes from transposing the uint8 assignments
+        # (tiny) before the iota-compare.
+        a_t = jnp.transpose(jnp.asarray(assignments), (1, 2, 0, 3))
+        w = jnp.einsum(
+            "...sk,skd->...sd", _onehot_compare(a_t, k, codebooks.dtype),
+            codebooks,
+        )
+        return w.reshape(kh, kw, cout, s * d)[..., :in_channels_per_group]
     w = jnp.einsum(
         "...sk,skd->...sd", _onehot_compare(assignments, k, codebooks.dtype),
         codebooks,

@@ -61,6 +61,29 @@ def _kernel(x_ref, band_ref, out_ref, *, c, alpha_over_n, k, beta):
     out_ref[:] = y.astype(out_ref.dtype)
 
 
+def _kernel_roll(x_ref, out_ref, *, c, cp, size, alpha_over_n, k, beta):
+    """Window sum via cyclic lane rolls at the FULL 128-lane vreg width.
+
+    §2/§2b measured pltpu.roll as terrible at 96-lane widths; at exactly
+    128 lanes it is the native lane rotation. The value is zero-padded
+    96 -> 128 IN VMEM (lanes were masked anyway — no HBM inflation, unlike
+    the §15 whole-block pad), and because the pad width (>= 32) exceeds
+    the window radius, the cyclic wrap only ever carries zeros into the
+    real lanes — exact zero-padded window semantics."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = x_ref[:]                                    # (Tm, C)
+    sq = x * x                                      # bf16, as the band path
+    sqp = jnp.pad(sq, ((0, 0), (0, cp - c))).astype(jnp.float32)
+    radius = (size - 1) // 2
+    sums = sqp
+    for off in range(1, radius + 1):
+        sums = sums + pltpu.roll(sqp, off, 1) + pltpu.roll(sqp, cp - off, 1)
+    scale = k + alpha_over_n * sums[:, :c]
+    y = x.astype(jnp.float32) * _neg_pow(scale, beta)
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
 def _kernel_shift(x_ref, out_ref, *, c, size, alpha_over_n, k, beta):
     """Window sum via `size` lane-shifted adds instead of the dot —
     probes whether Mosaic's lane rotations beat its in-kernel matmul."""
@@ -115,6 +138,24 @@ def lrn_fused(
             functools.partial(
                 _kernel_shift, c=c, size=size, alpha_over_n=alpha / size,
                 k=k, beta=beta,
+            ),
+            out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+            grid=grid,
+            in_specs=[block],
+            out_specs=block,
+            interpret=interpret,
+        )(xm)
+        return out.reshape(orig_shape)
+
+    if window == "roll":
+        cp = 128 * -(-c // 128)
+        if cp - c < (size - 1) // 2:
+            # wrap lanes would carry real data; widen by one vreg
+            cp += 128
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel_roll, c=c, cp=cp, size=size,
+                alpha_over_n=alpha / size, k=k, beta=beta,
             ),
             out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
             grid=grid,

@@ -256,23 +256,11 @@ def quantize_fc_layer(
     before sub-space splitting (quantizer/opq.py); the permutation rides in
     the params dict ("perm") and is applied/folded by ops.fc / prepare.
     """
-    perm = None
-    if opq is not None:
-        perm = _opq_perm(weight_out_in, num_subspaces, opq)
-        weight_out_in = np.asarray(weight_out_in)[:, perm]
-        if xcal is not None:
-            xcal = np.asarray(xcal)[:, perm]
-    w = jnp.asarray(weight_out_in, jnp.float32)
-    if xcal is None:
-        res = quantize_plain(
-            key, w, num_subspaces=num_subspaces, num_codewords=num_codewords,
-            **kwargs,
-        )
-    else:
-        res = quantize_error_corrected(
-            key, w, jnp.asarray(xcal, jnp.float32),
-            num_subspaces=num_subspaces, num_codewords=num_codewords, **kwargs,
-        )
+    res, perm = _quantize_2d_maybe_opq(
+        key, np.asarray(weight_out_in), xcal,
+        num_subspaces=num_subspaces, num_codewords=num_codewords,
+        opq=opq, **kwargs,
+    )
     out = {
         "codebooks": np.asarray(res.codebooks, np.float32),
         "assignments": np.asarray(res.assignments, np.uint8),
@@ -289,6 +277,60 @@ def _opq_perm(w2d, num_subspaces: int, method: str) -> np.ndarray:
     if method != "variance":
         raise ValueError(f"unknown opq method: {method!r}")
     return variance_permutation(np.asarray(w2d), num_subspaces)
+
+
+def _recon_mse(res, w: np.ndarray, num_subspaces: int) -> float:
+    """Mean squared reconstruction error of a QuantizeResult against the
+    (N, Cin) matrix it was fit on."""
+    from qcnn_tpu.ops.lut import decode_fc_weight
+
+    s = num_subspaces
+    d = res.codebooks.shape[2]
+    w_hat = np.asarray(
+        decode_fc_weight(res.codebooks, res.assignments, w.shape[1])
+    ).T
+    return float(np.mean((w_hat - w) ** 2))
+
+
+def _quantize_2d_maybe_opq(key, w, xcal, *, num_subspaces, num_codewords,
+                           opq, **kwargs):
+    """Quantize an (N, Cin) matrix; with opq set, fit BOTH the permuted and
+    the contiguous split and keep the lower-MSE one (the OPQ premise —
+    variance balancing helps — fails on some weight families, measured in
+    KERNEL_STUDIES §14; the guard makes --opq never worse, with a warning
+    when the permutation regressed and was dropped)."""
+    def fit(wm, xc):
+        wj = jnp.asarray(wm, jnp.float32)
+        if xc is None:
+            return quantize_plain(
+                key, wj, num_subspaces=num_subspaces,
+                num_codewords=num_codewords, **kwargs,
+            )
+        return quantize_error_corrected(
+            key, wj, jnp.asarray(xc, jnp.float32),
+            num_subspaces=num_subspaces, num_codewords=num_codewords,
+            **kwargs,
+        )
+
+    if opq is None:
+        return fit(w, xcal), None
+    perm = _opq_perm(w, num_subspaces, opq)
+    res_perm = fit(w[:, perm], None if xcal is None
+                   else np.asarray(xcal)[:, perm])
+    res_plain = fit(w, xcal)
+    mse_perm = _recon_mse(res_perm, w[:, perm], num_subspaces)
+    mse_plain = _recon_mse(res_plain, w, num_subspaces)
+    if mse_perm <= mse_plain:
+        return res_perm, perm
+    import warnings
+
+    warnings.warn(
+        f"OPQ variance permutation regressed reconstruction MSE "
+        f"({mse_perm:.3e} vs {mse_plain:.3e} contiguous) — keeping the "
+        f"contiguous split for this layer (KERNEL_STUDIES §14)",
+        stacklevel=3,
+    )
+    return res_plain, None
 
 
 def quantize_conv_layer(

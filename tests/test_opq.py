@@ -184,3 +184,43 @@ def test_reference_export_rejects_perm(tmp_path, rng):
                           num_subspaces=6, num_codewords=8, opq="variance")
     with pytest.raises(ValueError, match="OPQ"):
         save_reference_model(spec, [p, None], str(tmp_path), "x")
+
+
+def test_opq_guard_drops_regressing_permutation(rng, recwarn):
+    """quantize --opq fits both splits and keeps the better (round-3
+    verdict item 6): on a PQ-degenerate weight (every contiguous sub-space
+    holds few distinct sub-vectors) the permutation must be dropped with a
+    warning; on the anisotropic case it must be kept silently."""
+    import warnings
+
+    from qcnn_tpu.ops import lut as lut_ops
+
+    s, k, d, cout = 16, 4, 4, 64
+    # degenerate: each contiguous sub-space = k distinct random sub-vectors
+    cw = rng.standard_normal((s, k, d)).astype(np.float32)
+    ids = rng.integers(0, k, size=(cout, s))
+    w_deg = cw[np.arange(s)[None, :], ids].reshape(cout, s * d)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        res = quantize_fc_layer(
+            jax.random.key(0), w_deg, np.zeros(cout),
+            num_subspaces=s, num_codewords=k, opq="variance",
+        )
+    assert "perm" not in res, "regressing permutation must be dropped"
+    assert any("regressed" in str(c.message) for c in caught)
+    # and the kept contiguous fit reconstructs the degenerate matrix ~exactly
+    wd = np.asarray(lut_ops.decode_fc_weight(
+        jnp.asarray(res["codebooks"]), jnp.asarray(res["assignments"]),
+        s * d))
+    assert np.linalg.norm(wd.T - w_deg) / np.linalg.norm(w_deg) < 0.05
+
+    # anisotropic case: permutation helps and is kept, no warning
+    w_ani = _aniso_weight(rng, 96, 64)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        res2 = quantize_fc_layer(
+            jax.random.key(0), w_ani, np.zeros(96),
+            num_subspaces=16, num_codewords=8, opq="variance",
+        )
+    assert "perm" in res2
+    assert not any("regressed" in str(c.message) for c in caught)

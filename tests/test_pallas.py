@@ -410,3 +410,49 @@ def test_pq_conv_layout_impls_match_decode(rng, impl):
     got = np.asarray(pq_conv(x, params, stride=2, pad=1, groups=groups,
                              impl=impl))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "cout,kh,kw,s,k,d,cg,stride,pad",
+    [
+        (32, 3, 3, 12, 16, 4, 48, 1, 1),
+        (24, 3, 3, 12, 16, 4, 48, 2, 1),   # strided
+        (16, 5, 5, 8, 16, 4, 32, 2, 0),    # 5x5, no pad
+    ],
+)
+def test_pq_conv_gemm_matches_decode(rng, cout, kh, kw, s, k, d, cg,
+                                     stride, pad):
+    """im2col-GEMM memory conv (§9f) vs the decode oracle."""
+    from qcnn_tpu.ops.conv import pq_conv
+
+    cb = rng.standard_normal((s, k, d)).astype(np.float32)
+    asmt = rng.integers(0, k, size=(cout, kh, kw, s), dtype=np.uint8)
+    params = {"codebooks": jnp.asarray(cb), "assignments": jnp.asarray(asmt),
+              "bias": jnp.asarray(rng.standard_normal(cout), jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((2, 9, 9, cg)), jnp.float32)
+    want = np.asarray(pq_conv(x, params, stride=stride, pad=pad,
+                              impl="decode"))
+    got = np.asarray(pq_conv(x, params, stride=stride, pad=pad,
+                             impl="gemm"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_pq_conv_memory_impl_routes_by_geometry(rng):
+    """'memory' picks GEMM for weight-heavy multi-tap convs and the OHWI
+    one-hot decode otherwise — both must match 'decode'."""
+    from qcnn_tpu.ops.conv import _gemm_wins, pq_conv
+
+    # tiny spatial, big weight -> gemm; big spatial, small weight -> conv
+    assert _gemm_wins((4, 7, 7, 512), 512, 3, 3, 1, 1, 1)
+    assert not _gemm_wins((64, 56, 56, 64), 64, 3, 3, 1, 1, 1)
+    assert not _gemm_wins((4, 7, 7, 512), 512, 1, 1, 1, 1, 0)
+
+    s, k, d, cout, cg = 16, 16, 4, 40, 64
+    cb = rng.standard_normal((s, k, d)).astype(np.float32)
+    asmt = rng.integers(0, k, size=(cout, 3, 3, s), dtype=np.uint8)
+    params = {"codebooks": jnp.asarray(cb), "assignments": jnp.asarray(asmt),
+              "bias": jnp.asarray(rng.standard_normal(cout), jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((2, 5, 5, cg)), jnp.float32)
+    want = np.asarray(pq_conv(x, params, stride=1, pad=1, impl="decode"))
+    got = np.asarray(pq_conv(x, params, stride=1, pad=1, impl="memory"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
