@@ -141,7 +141,8 @@ def main() -> int:
 
     clf = Classifier.from_reference("alexnet", "/root/reference")
     if args.router:
-        from qcnn_tpu.serve.http import serve, serve_router
+        from qcnn_tpu.serve.http import serve
+        from qcnn_tpu.serve.router import serve_router
 
         engines, urls = [], []
         for i in range(args.router):

@@ -91,7 +91,7 @@ def main() -> int:
         ok &= check(f"pq_fc_lut_gather/{name}", got, want_f32, 2e-2)
 
     # conv gather decode (ResNet-style K=128 geometry — the memory-mode
-    # decode the one-hot path pays 32x MXU MACs for)
+    # decode the one-hot path pays 32x MXU MACs for), both layouts
     from qcnn_tpu.ops import lut as lut_ops
     from qcnn_tpu.ops.pallas import decode_conv_kernel_gather
 
@@ -104,6 +104,37 @@ def main() -> int:
                                               interpret=False))
     wk_want = np.asarray(lut_ops.decode_conv_kernel_onehot(cb, asmt_c, 64))
     ok &= check("decode_conv_gather/resnet-k128", wk, wk_want, 1e-6)
+    wk2 = np.asarray(decode_conv_kernel_gather(cb, asmt_c, 64,
+                                               layout="iohw",
+                                               interpret=False))
+    ok &= check("decode_conv_gather-iohw/resnet-k128",
+                np.transpose(wk2, (2, 3, 0, 1)), wk_want, 1e-6)
+
+    # full pq_conv impl matrix vs the decode oracle (compiled) — the
+    # memory-mode conv arms ship through these (§9e/9f)
+    from qcnn_tpu.ops.conv import pq_conv
+
+    xc = jnp.asarray(rng.standard_normal((4, 9, 9, 64)), jnp.float32)
+    pc = {"codebooks": cb, "assignments": asmt_c,
+          "bias": jnp.asarray(rng.standard_normal(64), jnp.float32)}
+    conv_want = np.asarray(pq_conv(xc, pc, stride=2, pad=1, impl="decode"))
+    for impl in ("indecode", "indecode_ohwi", "indecode_hwoi",
+                 "gdecode", "gdecode_iohw", "gemm"):
+        got_c = np.asarray(pq_conv(xc, pc, stride=2, pad=1, impl=impl))
+        ok &= check(f"pq_conv/{impl}", got_c, conv_want, 5e-3)
+
+    # batch-1 fc memory arms (the serving path, §9d)
+    cbf = jnp.asarray(rng.standard_normal((64, 32, 4)), jnp.float32)
+    af1 = jnp.asarray(rng.integers(0, 32, size=(250, 64), dtype=np.uint8))
+    p1 = {"codebooks": cbf, "assignments": af1,
+          "bias": jnp.asarray(rng.standard_normal(250), jnp.float32)}
+    x1 = jnp.asarray(rng.standard_normal((1, 256)), jnp.float32)
+    w1_want = np.asarray(pq_fc_decode(x1, p1))
+    got1 = np.asarray(pq_fc_lut_gather(x1, p1, interpret=False))
+    ok &= check("pq_fc_lut_gather/b1", got1, w1_want, 2e-2)
+    got1 = np.asarray(pq_fc_fused(x1, p1, interpret=False,
+                                  decode="gather"))
+    ok &= check("pq_fc_fused-gather/b1", got1, w1_want, 2e-2)
 
     # fused LRN (documented negative for perf, but must stay compiled-
     # correct: it is the in-tree Mosaic reference for the §2b study)
