@@ -185,7 +185,6 @@ def main():
                           wd, 256, 16))
             for label, wm, sm, km in cases:
                 perm = variance_permutation(wm, sm)
-                dnew = -(-wm.shape[1] // sm)
                 pl_ = quantize_plain(
                     jax.random.key(2), wm, num_subspaces=sm,
                     num_codewords=km, iters=args.iters)
@@ -193,7 +192,7 @@ def main():
                     jax.random.key(2), wm[:, perm], num_subspaces=sm,
                     num_codewords=km, iters=args.iters)
 
-                def err2(res, wp, sm=sm, dnew=dnew):
+                def err2(res, wp):
                     wh = np.asarray(decode_fc_weight(
                         np.asarray(res.codebooks),
                         np.asarray(res.assignments), wp.shape[1])).T

@@ -104,8 +104,12 @@ def profile_layers(
 ) -> list[LayerProfile]:
     """Time every layer on device with its real intermediate input."""
     if conv_impls is None or fc_impls is None:
+        # dtype matters: the fc 'memory' rule keeps f32 runs on the exact
+        # one-hot decode — the profiler must time what forward() executes
         conv_impls, fc_impls = network.resolve_strategy(
-            spec, params, x.shape[0], conv_impl, fc_impl
+            spec, params, x.shape[0], conv_impl, fc_impl,
+            dtype=(compute_dtype if compute_dtype is not None
+                   else jnp.float32),
         )
     x = jnp.asarray(x)
     if compute_dtype is not None:

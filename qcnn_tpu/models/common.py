@@ -28,28 +28,35 @@ MEMORY_IMPL = "indecode_ohwi"
 MEMORY_FC_IMPL = "auto"
 
 
-def fc_memory_impl(batch: int, num_codewords: int, dtype=None) -> str:
+def fc_memory_impl(batch: int, params: dict, dtype=None) -> str:
     """Resolve MEMORY_FC_IMPL for a concrete call site.
 
+    params: the PQ dict ({"codebooks" (S,K,D), "assignments" (Cout,S)}).
     dtype: the activation dtype at the call site. The fused-gather kernel
     computes in bf16 internally, so it only serves bf16 activations; f32
     callers (quantizer validation, exactness tests) keep the
     param-dtype-exact one-hot decode."""
     if MEMORY_FC_IMPL != "auto":
         return MEMORY_FC_IMPL
-    if num_codewords > 128:
+    s, k, d = params["codebooks"].shape
+    cout = params["assignments"].shape[0]
+    if k > 128:
         return "indecode"
     import jax.numpy as jnp
 
     if dtype is not None and jnp.dtype(dtype) != jnp.bfloat16:
         return "indecode"
-    if batch <= 2:
-        return "lutgather"
-    # The fused kernel pre-transposes x to (D, B, S); at row counts far
-    # above the weight height that relayout dominates (measured: ViT-B/16
-    # b32 = 6304 projection rows -> 40.5 ms/step vs 13.8 with indecode,
-    # tools/out/decode_layout_ab.txt). fc6-scale batches (<= ~1k rows)
-    # win with fgather (§9c table).
+    # The gather kernels win when the layer is WEIGHT-dominated (the fc6
+    # class: streaming the decoded weight is the binding cost). At ViT/
+    # resnet-head geometries (Cin <= 3072, Cout <= 2048) indecode wins at
+    # every batch (vit_b16 memory: b1 1.19 vs 1.46 ms, b8 3.99 vs 4.50,
+    # b32 13.8 vs 40.5 — tools/out/vit_b1_memory_ab.txt,
+    # decode_layout_ab.txt), and at row counts far above the weight height
+    # the fused kernel's (D,B,S) x-transpose dominates.
+    if s * d < 4096 and cout < 4096:
+        return "indecode"
     if batch > 1024:
         return "indecode"
+    if batch <= 2:
+        return "lutgather"
     return "fgather"

@@ -41,13 +41,10 @@ from qcnn_tpu.core import (
     PoolSpec,
     ReLUSpec,
 )
+from qcnn_tpu.ops.pallas._common import ceil_to as _ceil_to
 
 _LANES = 128
 _PASSTHROUGH = (ReLUSpec, LRNSpec, PoolSpec, DropoutSpec)
-
-
-def _ceil_to(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 def _is_dense_conv(p: Optional[dict]) -> bool:

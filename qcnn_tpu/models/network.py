@@ -73,7 +73,7 @@ def _memory_fc_impl(p: dict, batch: int, dtype=None) -> str:
     families (models/common.py)."""
     from qcnn_tpu.models import common
 
-    return common.fc_memory_impl(batch, p["codebooks"].shape[1], dtype)
+    return common.fc_memory_impl(batch, p, dtype)
 
 
 def resolve_strategy(

@@ -137,7 +137,7 @@ def _apply_fc(x, p):
     if "codebooks" in p:
         # models/common.py MEMORY_FC_IMPL (per-batch measured rule)
         return fc_ops.pq_fc(x, p, impl=common.fc_memory_impl(
-            x.shape[0], p["codebooks"].shape[1], x.dtype))
+            x.shape[0], p, x.dtype))
     if "weight_q" in p:
         return fc_ops.fc_dense_int8(
             x, p["weight_q"], p["scale"], p["bias"],

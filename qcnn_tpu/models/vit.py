@@ -162,7 +162,7 @@ def _proj(x, p):
         # in-graph PQ FC formulation: models/common.py MEMORY_FC_IMPL
         # (per-batch rule — ViT projections see B*tokens rows)
         y = fc_ops.pq_fc(x2, p, impl=common.fc_memory_impl(
-            x2.shape[0], p["codebooks"].shape[1], x2.dtype))
+            x2.shape[0], p, x2.dtype))
     elif "weight_q" in p:
         y = fc_ops.fc_dense_int8(
             x2, p["weight_q"], p["scale"], p["bias"],

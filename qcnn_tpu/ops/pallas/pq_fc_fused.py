@@ -50,10 +50,10 @@ from qcnn_tpu.ops.pallas._common import auto_interpret, ceil_to, gather_lanes
 _LANES = 128
 
 
-def _kernel(xt_ref, cb_ref, asmt_ref, bias_ref, out_ref, *, num_k, d_len,
-            decode):
-    """xt (D, Bt, Sg) bf16; cb (K*D, Sg) bf16; asmt (Ct, Sg) int8;
-    bias (1, Ct) f32; out (Bt, Ct) f32 accumulated over the S-chunk grid."""
+def _kernel(xt_ref, cb_ref, asmt_ref, bias_ref, out_ref, *, num_k, d_len):
+    """Select-accumulate decode variant. xt (D, Bt, Sg) bf16; cb (K*D, Sg)
+    bf16; asmt (Ct, Sg) int8; bias (1, Ct) f32; out (Bt, Ct) f32
+    accumulated over the S-chunk grid."""
     k_id = pl.program_id(2)
 
     @pl.when(k_id == 0)
@@ -217,7 +217,7 @@ def _pq_fc_fused(
         constant_values=-1,
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, num_k=k, d_len=d, decode=decode),
+        functools.partial(_kernel, num_k=k, d_len=d),
         grid=grid,
         in_specs=[
             pl.BlockSpec(

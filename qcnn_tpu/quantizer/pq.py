@@ -279,17 +279,21 @@ def _opq_perm(w2d, num_subspaces: int, method: str) -> np.ndarray:
     return variance_permutation(np.asarray(w2d), num_subspaces)
 
 
-def _recon_mse(res, w: np.ndarray, num_subspaces: int) -> float:
-    """Mean squared reconstruction error of a QuantizeResult against the
-    (N, Cin) matrix it was fit on."""
+def _guard_mse(res, w: np.ndarray, xcal: Optional[np.ndarray]) -> float:
+    """Guard metric for the OPQ keep/drop decision: plain reconstruction
+    MSE, or — when calibration inputs are present — the RESPONSE error
+    ||X(W - Ŵ)^T||² that the error-corrected fit actually minimizes
+    (comparing weight MSE there could prefer the variant that is worse on
+    the real objective)."""
     from qcnn_tpu.ops.lut import decode_fc_weight
 
-    s = num_subspaces
-    d = res.codebooks.shape[2]
     w_hat = np.asarray(
         decode_fc_weight(res.codebooks, res.assignments, w.shape[1])
     ).T
-    return float(np.mean((w_hat - w) ** 2))
+    if xcal is None:
+        return float(np.mean((w_hat - w) ** 2))
+    xc = np.asarray(xcal, np.float32)
+    return float(np.mean((xc @ (w_hat - w).T.astype(np.float32)) ** 2))
 
 
 def _quantize_2d_maybe_opq(key, w, xcal, *, num_subspaces, num_codewords,
@@ -315,11 +319,11 @@ def _quantize_2d_maybe_opq(key, w, xcal, *, num_subspaces, num_codewords,
     if opq is None:
         return fit(w, xcal), None
     perm = _opq_perm(w, num_subspaces, opq)
-    res_perm = fit(w[:, perm], None if xcal is None
-                   else np.asarray(xcal)[:, perm])
+    xcal_p = None if xcal is None else np.asarray(xcal)[:, perm]
+    res_perm = fit(w[:, perm], xcal_p)
     res_plain = fit(w, xcal)
-    mse_perm = _recon_mse(res_perm, w[:, perm], num_subspaces)
-    mse_plain = _recon_mse(res_plain, w, num_subspaces)
+    mse_perm = _guard_mse(res_perm, w[:, perm], xcal_p)
+    mse_plain = _guard_mse(res_plain, w, xcal)
     if mse_perm <= mse_plain:
         return res_perm, perm
     import warnings

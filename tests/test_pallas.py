@@ -124,16 +124,18 @@ def test_pq_fc_fused_rejects_wide_codebooks(rng):
 
 
 def test_memory_strategy_resolution(rng):
-    """'memory' resolves per measurement (KERNEL_STUDIES §9b-9d): conv ->
-    in-step one-hot decode; fc -> lutgather at batch<=2, the fused
-    gather-decode GEMM otherwise (K<=128; indecode above)."""
+    """'memory' resolves per measurement (KERNEL_STUDIES §9b-9f): conv ->
+    in-step one-hot decode (OHWI); fc -> the gather kernels only for
+    weight-dominated (fc6-class) layers — lutgather at batch<=2, the
+    fused gather-decode GEMM otherwise — and indecode for small layers
+    (the ViT/resnet-head class), K>128, or huge row counts."""
     from qcnn_tpu.core import ConvSpec, FCSpec, ModelSpec, SoftmaxSpec
     from qcnn_tpu.models.network import resolve_strategy
 
     spec = ModelSpec(
         name="m", in_height=4, in_width=4, in_channels=8,
         layers=(ConvSpec(kernel=3, out_channels=16, pad=1),
-                FCSpec(128), FCSpec(10), SoftmaxSpec()),
+                FCSpec(4096), FCSpec(10), SoftmaxSpec()),
     )
     params = [
         {
@@ -141,12 +143,12 @@ def test_memory_strategy_resolution(rng):
             "assignments": np.zeros((16, 3, 3, 1), np.uint8),
             "bias": np.zeros(16, np.float32),
         },
-        {
-            "codebooks": np.zeros((64, 32, 4), np.float32),
-            "assignments": np.zeros((128, 64), np.uint8),
-            "bias": np.zeros(128, np.float32),
+        {  # fc6-class: weight-dominated -> gather kernels
+            "codebooks": np.zeros((2304, 32, 4), np.float32),
+            "assignments": np.zeros((4096, 2304), np.uint8),
+            "bias": np.zeros(4096, np.float32),
         },
-        {  # D=1 classifier
+        {  # small classifier (vit/resnet-head class) -> indecode
             "codebooks": np.zeros((128, 16, 1), np.float32),
             "assignments": np.zeros((10, 128), np.uint8),
             "bias": np.zeros(10, np.float32),
@@ -157,17 +159,20 @@ def test_memory_strategy_resolution(rng):
         conv_i, fc_i = resolve_strategy(spec, params, batch, "memory",
                                         "memory")
         assert conv_i == ("indecode_ohwi", "-", "-", "-")
-        assert fc_i == ("-", "fgather", "fgather", "-")
+        assert fc_i == ("-", "fgather", "indecode", "-")
     conv_i, fc_i = resolve_strategy(spec, params, 1, "memory", "memory")
-    assert fc_i == ("-", "lutgather", "lutgather", "-")
+    assert fc_i == ("-", "lutgather", "indecode", "-")
+    # huge row counts (ViT token batches) -> indecode even at fc6 scale
+    _, fc_i = resolve_strategy(spec, params, 6304, "memory", "memory")
+    assert fc_i == ("-", "indecode", "indecode", "-")
     # K > 128 exceeds the one-vreg gather table -> indecode fallback
     params_wide = list(params)
     params_wide[1] = dict(
         params[1],
-        codebooks=np.zeros((64, 256, 4), np.float32),
+        codebooks=np.zeros((2304, 256, 4), np.float32),
     )
     _, fc_i = resolve_strategy(spec, params_wide, 256, "memory", "memory")
-    assert fc_i == ("-", "indecode", "fgather", "-")
+    assert fc_i == ("-", "indecode", "indecode", "-")
 
 
 # ---------------------------------------------------------------------------
@@ -192,6 +197,13 @@ def test_lrn_fused_bit_identical(rng, shape, tile_m):
         got = lrn_fused(x, tile_m=tile_m, pad_lanes=pad, interpret=True,
                         **kw)
         assert jnp.all(got == want), f"pad_lanes={pad}"
+    # 'roll' (the round-3 negative, §2b): same bf16-square precision as
+    # the band path but f32 adds in a different order — tolerance, not
+    # bit-equality
+    got = lrn_fused(x, window="roll", tile_m=tile_m, interpret=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2)
 
 
 def test_lrn_fused_other_betas(rng):

@@ -107,9 +107,9 @@ def test_prepare_indecode_matches_decode_and_keeps_pq_resident():
         )
     )
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
-    # 'memory' conv strategy resolves to indecode for PQ conv layers
+    # 'memory' conv strategy resolves to the OHWI in-step decode (§9e)
     ci, _ = network.resolve_strategy(spec, params, 4, "memory", "memory")
-    assert "indecode" in ci
+    assert "indecode_ohwi" in ci
 
 
 def test_prepare_int8_top1_agreement():

@@ -32,7 +32,6 @@ def main() -> int:
     import jax.numpy as jnp
 
     from qcnn_tpu.models import resnet as fam
-    from qcnn_tpu.ops import lut as lut_ops
     from qcnn_tpu.ops.pallas import (
         decode_conv_kernel_gather, decode_fc_weight_gather,
     )
