@@ -74,6 +74,14 @@ def pack_indices(asmt: np.ndarray, num_codewords: int) -> tuple[np.ndarray, int]
     FileIO.h:281-350 — layout here is our own, simpler and page-free)."""
     bits = max(1, int(np.ceil(np.log2(max(num_codewords, 2)))))
     flat = np.asarray(asmt, np.uint32).ravel()
+    if flat.size and int(flat.max()) >= (1 << bits):
+        # the reference codec has exactly this guard (write_cbn); without
+        # it an out-of-range index silently truncates to its low bits and
+        # round-trips as a DIFFERENT codeword
+        raise ValueError(
+            f"assignment index {int(flat.max())} does not fit "
+            f"{bits} bits (num_codewords={num_codewords})"
+        )
     n = flat.size
     # expand to bit matrix (n, bits) then pack
     bitmat = ((flat[:, None] >> np.arange(bits)[None, :]) & 1).astype(np.uint8)
@@ -192,7 +200,8 @@ def save_family_checkpoint(path: str, family: str, spec, params: dict,
     tensor_meta: dict[str, dict] = {}
     for key, arr in flat.items():
         if key.endswith("/assignments") or key == "assignments":
-            cb_key = key.rsplit("/", 1)[0] + "/codebooks"
+            cb_key = (key[: -len("assignments")] + "codebooks"
+                      if key.endswith("/assignments") else "codebooks")
             k = int(flat[cb_key].shape[1])
             packed, bits = pack_indices(arr, k)
             arrays[key] = packed
@@ -222,6 +231,11 @@ def load_family_checkpoint(path: str):
     """-> (family, spec, params)."""
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
+    if manifest.get("format_version", 1) > FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint format {manifest['format_version']} is newer than "
+            f"supported {FORMAT_VERSION}"
+        )
     family = manifest["family"]
     with open(os.path.join(path, "spec.json")) as f:
         spec_d = json.load(f)

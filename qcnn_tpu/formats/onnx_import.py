@@ -27,6 +27,7 @@ node carries none.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Union
 
 import numpy as np
@@ -107,9 +108,9 @@ def _parse_node(buf: bytes) -> OnnxNode:
     return OnnxNode(op_type, inputs, attrs)
 
 
-def read_onnx(path_or_bytes: Union[str, bytes]):
+def read_onnx(path_or_bytes: Union[str, os.PathLike, bytes]):
     """-> (nodes, initializers): graph nodes in order + name->ndarray."""
-    if isinstance(path_or_bytes, (str,)):
+    if isinstance(path_or_bytes, (str, os.PathLike)):
         with open(path_or_bytes, "rb") as f:
             buf = f.read()
     else:
@@ -142,10 +143,14 @@ def import_onnx(path_or_bytes, spec) -> list:
     )
 
     nodes, inits = read_onnx(path_or_bytes)
+    # weight (inputs[1]) must itself be an initializer: a node whose only
+    # initializer is its bias (weight produced by a preceding node, e.g.
+    # DequantizeLinear) is not importable and must not crash with a raw
+    # KeyError at inits[nd.inputs[1]] below
     learnable_nodes = [
         nd for nd in nodes
         if nd.op_type in ("Conv", "Gemm", "MatMul")
-        and any(i in inits for i in nd.inputs[1:])
+        and len(nd.inputs) > 1 and nd.inputs[1] in inits
     ]
     spec_learnable = [
         (i, l) for i, l in enumerate(spec.layers)

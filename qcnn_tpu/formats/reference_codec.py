@@ -166,6 +166,10 @@ def read_cbn(path: str | os.PathLike, *, one_based: bool = False) -> np.ndarray:
         out = _unpack_pages_numpy(pages, n, bits)
     out = out.astype(np.uint8)
     if one_based:
+        if out.size and int(out.max()) == 255:
+            # 1-based values for an 8-bit index reach 256, which uint8
+            # cannot hold (the += 1 would silently wrap 255 -> 0)
+            out = out.astype(np.uint16)
         out += 1
     return out.reshape(dims)
 

@@ -217,6 +217,9 @@ class BatchingEngine:
             self._thread.join(timeout=10)
         # Requests enqueued just before stop would otherwise hang their
         # callers until the full classify() timeout.
+        self._drain_stopped()
+
+    def _drain_stopped(self) -> None:
         while True:
             try:
                 _, fut, _ = self._queue.get_nowait()
@@ -245,6 +248,15 @@ class BatchingEngine:
         config.deadline_ms) passes before dispatch."""
         if image_nhwc.ndim != 3:
             raise ValueError(f"expected HWC image, got {image_nhwc.shape}")
+        want = (self.spec.in_height, self.spec.in_width,
+                self.spec.in_channels)
+        if tuple(image_nhwc.shape) != want:
+            # reject HERE, not in the dispatcher: a mis-shaped image inside
+            # a batch would raise in np.stack and kill the dispatch thread
+            # (one bad request = total engine DoS)
+            raise ValueError(
+                f"expected image shape {want}, got {tuple(image_nhwc.shape)}"
+            )
         if self._stop.is_set():
             raise RuntimeError("engine is stopped")
         if deadline_ms is None:
@@ -262,6 +274,11 @@ class BatchingEngine:
             raise EngineOverloaded(
                 f"request queue full ({self.config.max_queue} pending)"
             ) from None
+        if self._stop.is_set():
+            # stop() may have drained the queue between our check above and
+            # the put: fail anything still queued so no caller hangs for
+            # its full timeout
+            self._drain_stopped()
         return fut
 
     def classify(self, image_nhwc: np.ndarray, timeout: float = 600.0,
@@ -320,7 +337,11 @@ class BatchingEngine:
             batch = [first]
             deadline = cfg.max_wait_ms / 1e3
             t0 = time.perf_counter()
-            while len(batch) < cfg.max_batch:
+            # never exceed the largest bucket: with user-supplied buckets
+            # below max_batch, an oversized batch would ship UNPADDED at an
+            # arbitrary (never-warmed) shape — a remote recompile per burst
+            max_n = min(cfg.max_batch, self._buckets[-1])
+            while len(batch) < max_n:
                 remaining = deadline - (time.perf_counter() - t0)
                 if remaining <= 0:
                     break
@@ -328,6 +349,13 @@ class BatchingEngine:
                     batch.append(self._pop_live(timeout=remaining))
                 except queue.Empty:
                     break
+            # claim each future (RUNNING state): client-side fut.cancel()
+            # is honoured here, and a claimed future can no longer be
+            # cancelled — so set_result below cannot raise InvalidStateError
+            # (which would poison the rest of the batch via the except arm)
+            batch = [b for b in batch if b[1].set_running_or_notify_cancel()]
+            if not batch:
+                continue
             images = np.stack([b[0] for b in batch]).astype(
                 self._upload_dtype, copy=False
             )

@@ -211,3 +211,54 @@ def test_resave_with_different_store_removes_stale_arrays(tmp_path):
     _, back = load_checkpoint(out)
     np.testing.assert_array_equal(back[0]["weight"],
                                   np.full((8, 3), 3.0, np.float32))
+
+
+def test_family_checkpoint_top_level_assignments(tmp_path):
+    """A params tree whose assignments/codebooks live at the TOP level
+    (key == 'assignments') must round-trip — the packed-key derivation
+    used to produce 'assignments/codebooks' and KeyError."""
+    from qcnn_tpu.formats.checkpoint import (
+        load_family_checkpoint, save_family_checkpoint,
+    )
+    from qcnn_tpu.models.vit import ViTSpec
+
+    rng = np.random.default_rng(0)
+    spec = ViTSpec("vit-top", patch=8, image_size=16, dim=32, depth=1,
+                   heads=2, num_classes=4)
+    params = {
+        "codebooks": rng.standard_normal((4, 8, 4)).astype(np.float32),
+        "assignments": rng.integers(0, 8, size=(16, 4), dtype=np.uint8),
+        "bias": np.zeros(16, np.float32),
+    }
+    save_family_checkpoint(str(tmp_path / "ck"), "vit", spec, params)
+    fam, spec2, params2 = load_family_checkpoint(str(tmp_path / "ck"))
+    np.testing.assert_array_equal(params2["assignments"],
+                                  params["assignments"])
+
+
+def test_pack_indices_rejects_out_of_range():
+    from qcnn_tpu.formats.checkpoint import pack_indices
+
+    with pytest.raises(ValueError, match="does not fit"):
+        pack_indices(np.array([0, 40], np.uint8), num_codewords=32)
+
+
+def test_family_checkpoint_rejects_newer_format(tmp_path):
+    import json as _json
+
+    from qcnn_tpu.formats.checkpoint import (
+        load_family_checkpoint, save_family_checkpoint,
+    )
+    from qcnn_tpu.models.vit import ViTSpec
+
+    spec = ViTSpec("vit-v", patch=8, image_size=16, dim=32, depth=1,
+                   heads=2, num_classes=4)
+    save_family_checkpoint(
+        str(tmp_path / "ck"), "vit", spec,
+        {"bias": np.zeros(4, np.float32)})
+    mf = tmp_path / "ck" / "manifest.json"
+    m = _json.loads(mf.read_text())
+    m["format_version"] = 99
+    mf.write_text(_json.dumps(m))
+    with pytest.raises(ValueError, match="newer than supported"):
+        load_family_checkpoint(str(tmp_path / "ck"))

@@ -457,3 +457,50 @@ def test_router_forwards_deadline_header():
     finally:
         router_srv.shutdown()
         backend.shutdown()
+
+
+def test_mis_shaped_request_rejected_not_fatal(engine, rng):
+    """A wrong-shape image must be rejected at submit() — inside a batch it
+    would raise in np.stack and permanently kill the dispatcher (one bad
+    request = engine DoS)."""
+    with pytest.raises(ValueError, match="expected image shape"):
+        engine.submit(rng.standard_normal((5, 5, 4)).astype(np.float32))
+    # engine still alive and serving
+    probs = engine.classify(
+        rng.standard_normal((11, 11, 4)).astype(np.float32), timeout=60)
+    assert probs.shape == (10,)
+
+
+def test_cancelled_future_does_not_poison_batch(engine, rng):
+    """fut.cancel() before dispatch must not InvalidStateError the batch:
+    the dispatcher claims futures (RUNNING) and drops cancelled ones."""
+    imgs = [rng.standard_normal((11, 11, 4)).astype(np.float32)
+            for _ in range(4)]
+    futs = [engine.submit(im) for im in imgs]
+    futs[1].cancel()  # may or may not win the race with the dispatcher
+    results = []
+    for i, f in enumerate(futs):
+        if i == 1 and f.cancelled():
+            continue
+        results.append(f.result(timeout=60))
+    assert all(r.shape == (10,) for r in results)
+
+
+def test_bucket_cap_below_max_batch(tiny_spec, rng):
+    """Custom buckets smaller than max_batch: batches must never dispatch
+    unpadded above the largest bucket (that shape was never warmed — a
+    remote recompile per burst size) and padded_waste stays >= 0."""
+    params = synth.random_pq_params(tiny_spec, seed=1)
+    eng = BatchingEngine(
+        tiny_spec, params,
+        config=EngineConfig(max_batch=8, max_wait_ms=50.0, buckets=(1, 2)),
+    ).start()
+    try:
+        imgs = [rng.standard_normal((11, 11, 4)).astype(np.float32)
+                for _ in range(5)]
+        futs = [eng.submit(im) for im in imgs]
+        for f in futs:
+            assert f.result(timeout=60).shape == (10,)
+        assert eng.stats["padded_waste"] >= 0
+    finally:
+        eng.stop()
