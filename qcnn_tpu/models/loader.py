@@ -68,7 +68,6 @@ def load_reference_model(
     def path(kind: str, idx: int, ext: str) -> str:
         return os.path.join(weights_dir, f"{prefix}.{kind}.{idx + 1:02d}.{ext}")
 
-    shapes = spec.feature_shapes(batch=1)
     for i, layer in enumerate(spec.layers):
         if not isinstance(layer, (ConvSpec, FCSpec)):
             params.append(None)
@@ -103,7 +102,6 @@ def load_reference_model(
             else:
                 wei = read_bin(path("fcntWei", i, "bin"), dtype)  # (Cout, Cin)
                 params.append(dense_fc_params(wei.T, bias))
-    del shapes
     return LoadResult(params=params, synthesized_layers=synthesized)
 
 
@@ -175,7 +173,7 @@ def load_class_names(path: str) -> list[str]:
     """Class id -> name table (Cls.Names/class_names.txt; one name per line,
     reference CaffeEvaWrapper.cc:219-243)."""
     with open(path, "r", encoding="utf-8", errors="replace") as f:
-        return [line.rstrip("\n") for line in f if line.strip()]
+        return [line.rstrip("\r\n") for line in f if line.strip()]
 
 
 def load_image_labels(path: str) -> dict[str, int]:

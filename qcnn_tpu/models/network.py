@@ -51,13 +51,15 @@ from qcnn_tpu.ops import (
 # every batch size — any gather realization pays ~S*K*Cout VPU select ops,
 # ~170x slower per element than MXU MACs. The LUT paths remain as explicit
 # memory-mode options (codebooks+assignments are ~21x smaller than dense);
-# "indecode" keeps the compressed PQ params resident in HBM and decodes the
+# "indecode*" keep the compressed PQ params resident in HBM and decode the
 # dense weight INSIDE the jitted step (dense copy is a per-layer transient,
 # never stored); "memory" picks the best measured memory-mode kernel per
-# layer geometry and batch (docs/KERNEL_STUDIES.md §9).
-CONV_IMPLS = ("decode", "indecode", "gdecode", "gemm", "lut", "memory")
-FC_IMPLS = ("onehot", "gather", "decode", "indecode", "gdecode", "pallas",
-            "fused", "fgather", "lutgather", "memory")
+# layer geometry and batch (docs/KERNEL_STUDIES.md §9-§9f). These tuples
+# are the request-level vocabulary enforced by resolve_strategy.
+CONV_IMPLS = ("auto", "decode", "indecode", "indecode_ohwi", "indecode_hwoi",
+              "gdecode", "gdecode_iohw", "gemm", "lut", "memory")
+FC_IMPLS = ("auto", "onehot", "gather", "decode", "indecode", "gdecode",
+            "pallas", "fused", "fgather", "lutgather", "memory")
 
 
 def _memory_fc_impl(p: dict, batch: int, dtype=None) -> str:
@@ -88,6 +90,14 @@ def resolve_strategy(
 
     dtype: the execution dtype (prepare_params' dtype); the fc 'memory'
     rule keeps f32 runs on the exact one-hot decode."""
+    if conv_impl not in CONV_IMPLS:
+        raise ValueError(
+            f"unknown conv impl {conv_impl!r}; expected one of {CONV_IMPLS}"
+        )
+    if fc_impl not in FC_IMPLS:
+        raise ValueError(
+            f"unknown fc impl {fc_impl!r}; expected one of {FC_IMPLS}"
+        )
     conv_choices = []
     fc_choices = []
     for layer, p in zip(spec.layers, params):
@@ -159,14 +169,17 @@ def forward(
     """
     if x.ndim != 4:
         raise ValueError(f"expected NHWC input, got shape {x.shape}")
-    if conv_impls is not None and fc_impls is not None:
-        conv_strat, fc_strat = conv_impls, fc_impls
-    else:
-        conv_strat, fc_strat = resolve_strategy(
+    if conv_impls is None or fc_impls is None:
+        # resolve only the missing side — a caller passing one pre-resolved
+        # tuple must not have it silently discarded
+        conv_r, fc_r = resolve_strategy(
             spec, params, x.shape[0], conv_impl, fc_impl,
             dtype=(compute_dtype if compute_dtype is not None
                    else jnp.float32),
         )
+        conv_impls = conv_impls if conv_impls is not None else conv_r
+        fc_impls = fc_impls if fc_impls is not None else fc_r
+    conv_strat, fc_strat = conv_impls, fc_impls
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
 

@@ -256,6 +256,7 @@ def quantize_fc_layer(
     before sub-space splitting (quantizer/opq.py); the permutation rides in
     the params dict ("perm") and is applied/folded by ops.fc / prepare.
     """
+    _check_uint8_codewords(num_codewords)
     res, perm = _quantize_2d_maybe_opq(
         key, np.asarray(weight_out_in), xcal,
         num_subspaces=num_subspaces, num_codewords=num_codewords,
@@ -269,6 +270,17 @@ def quantize_fc_layer(
     if perm is not None:
         out["perm"] = perm
     return out
+
+
+def _check_uint8_codewords(num_codewords: int) -> None:
+    """Assignments are stored uint8 end-to-end (the reference's data
+    model, SURVEY.md §2a); casting K>256 fits would silently wrap the
+    indices mod 256 and decode garbage."""
+    if num_codewords > 256:
+        raise ValueError(
+            f"PQ assignments are uint8: num_codewords must be <= 256, "
+            f"got {num_codewords}"
+        )
 
 
 def _opq_perm(w2d, num_subspaces: int, method: str) -> np.ndarray:
@@ -355,26 +367,17 @@ def quantize_conv_layer(
     the Cg input channels (same permutation for every group — the codebook
     is shared across groups, CaffeEva.cc:534-560).
     """
+    _check_uint8_codewords(num_codewords)
     cout, cg, kh, kw = kernel_oihw.shape
     # (Cout, kh, kw, Cg): one Cg-vector per (o, i, j)
     w = np.transpose(kernel_oihw, (0, 2, 3, 1)).reshape(cout * kh * kw, cg)
-    perm = None
-    if opq is not None:
-        perm = _opq_perm(w, num_subspaces, opq)
-        w = np.asarray(w)[:, perm]
-        if xcal is not None:
-            xcal = np.asarray(xcal)[:, perm]
-    w = jnp.asarray(w, jnp.float32)
-    if xcal is None:
-        res = quantize_plain(
-            key, w, num_subspaces=num_subspaces, num_codewords=num_codewords,
-            **kwargs,
-        )
-    else:
-        res = quantize_error_corrected(
-            key, w, jnp.asarray(xcal, jnp.float32),
-            num_subspaces=num_subspaces, num_codewords=num_codewords, **kwargs,
-        )
+    # same fit-both OPQ keep/drop guard as the FC path: '--opq is never
+    # worse' must hold per layer for convs too (KERNEL_STUDIES §14)
+    res, perm = _quantize_2d_maybe_opq(
+        key, np.asarray(w), xcal,
+        num_subspaces=num_subspaces, num_codewords=num_codewords,
+        opq=opq, **kwargs,
+    )
     assigns = np.asarray(res.assignments, np.uint8).reshape(
         cout, kh, kw, num_subspaces
     )

@@ -237,7 +237,13 @@ def quantize_network(
     ((B, H, W, C) preprocessed inputs): sequential error-corrected PQ as
     described in the module docstring. opq="variance" adds the OPQ input
     permutation per layer (quantizer/opq.py). Already-PQ / parameter-free
-    layers pass through."""
+    layers pass through.
+
+    Calibration cost is O(L^2) forwards by design: layer i's inputs must
+    come from the ALREADY-QUANTIZED prefix (the sequential-EC contract —
+    CVPR'16 §"quantizing multiple layers"), and the prefix is re-run after
+    each layer's params change. Offline tooling; run with --cpu (per-shape
+    remote-TPU compiles dwarf the math)."""
     overrides = overrides or {}
     out = list(params)
     rng = np.random.default_rng(seed)

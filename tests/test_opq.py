@@ -224,3 +224,37 @@ def test_opq_guard_drops_regressing_permutation(rng, recwarn):
         )
     assert "perm" in res2
     assert not any("regressed" in str(c.message) for c in caught)
+
+
+def test_conv_opq_guard_drops_regressing_permutation(rng):
+    """The conv path applies the same fit-both keep/drop guard as FC:
+    a PQ-degenerate kernel (contiguous sub-spaces trivially clusterable)
+    must drop the permutation."""
+    import warnings
+
+    s, k, d, cout = 8, 4, 4, 16
+    cw = rng.standard_normal((s, k, d)).astype(np.float32)
+    ids = rng.integers(0, k, size=(cout * 9, s))
+    w2 = cw[np.arange(s)[None, :], ids].reshape(cout * 9, s * d)
+    kern = np.transpose(
+        w2.reshape(cout, 3, 3, s * d), (0, 3, 1, 2))  # OIHW
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        res = quantize_conv_layer(
+            jax.random.key(0), kern, np.zeros(cout),
+            num_subspaces=s, num_codewords=k, opq="variance",
+        )
+    assert "perm" not in res
+    assert any("regressed" in str(c.message) for c in caught)
+
+
+def test_quantize_rejects_more_than_256_codewords(rng):
+    """uint8 assignments: K > 256 must fail loudly, not wrap mod 256."""
+    w = rng.standard_normal((32, 64)).astype(np.float32)
+    with pytest.raises(ValueError, match="<= 256"):
+        quantize_fc_layer(jax.random.key(0), w, np.zeros(32),
+                          num_subspaces=16, num_codewords=512)
+    kern = rng.standard_normal((8, 16, 3, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="<= 256"):
+        quantize_conv_layer(jax.random.key(0), kern, np.zeros(8),
+                            num_subspaces=4, num_codewords=300)
