@@ -791,11 +791,16 @@ def cmd_profile(args) -> int:
         ).params
     else:
         params = synth.random_pq_params(spec, seed=0)
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+             "int8": jnp.int8}[args.dtype]
     prepared, ci, fi = prepare_params(
         spec, params, batch_hint=args.batch,
         conv_impl=args.conv_impl, fc_impl=args.fc_impl, dtype=dtype,
     )
+    if args.dtype == "int8":
+        # int8 selects the weight representation; activations stay bf16
+        # between layers (models/prepare.act_dtype_for)
+        dtype = jnp.bfloat16
     x = synth.random_input(spec, args.batch, seed=1)
     if args.trace:
         # jax.profiler trace alongside the table (viewable in TensorBoard /
@@ -1048,7 +1053,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reference-dir", default="/root/reference")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--dtype", default="bfloat16",
-                   choices=["bfloat16", "float32"])
+                   choices=["bfloat16", "float32", "int8"])
     p.add_argument("--conv-impl", default="auto")
     p.add_argument("--fc-impl", default="auto")
     p.add_argument("--trace", default=None,

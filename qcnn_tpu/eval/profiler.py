@@ -51,8 +51,18 @@ def _layer_fn(layer, p, strategy, first_fc, compute_dtype):
     def fn(x):
         if isinstance(layer, ConvSpec):
             if strategy == "dense":
-                y = conv_dense(x, p["kernel"], p["bias"], stride=layer.stride,
-                               pad=layer.pad, groups=layer.groups)
+                if "kernel_q" in p:  # int8-prepared (network.py dispatch)
+                    from qcnn_tpu.ops.conv import conv_dense_int8
+
+                    y = conv_dense_int8(
+                        x, p["kernel_q"], p["scale"], p["bias"],
+                        stride=layer.stride, pad=layer.pad,
+                        groups=layer.groups, act_scale=p.get("act_scale"),
+                    )
+                else:
+                    y = conv_dense(x, p["kernel"], p["bias"],
+                                   stride=layer.stride,
+                                   pad=layer.pad, groups=layer.groups)
             else:
                 y = pq_conv(x, p, stride=layer.stride, pad=layer.pad,
                             groups=layer.groups, impl=strategy)
@@ -62,7 +72,15 @@ def _layer_fn(layer, p, strategy, first_fc, compute_dtype):
             else:
                 x = x.reshape(x.shape[0], -1)
             if strategy == "dense":
-                y = fc_dense(x, p["weight"], p["bias"])
+                if "weight_q" in p:
+                    from qcnn_tpu.ops.fc import fc_dense_int8
+
+                    y = fc_dense_int8(
+                        x, p["weight_q"], p["scale"], p["bias"],
+                        act_scale=p.get("act_scale"),
+                    )
+                else:
+                    y = fc_dense(x, p["weight"], p["bias"])
             else:
                 y = pq_fc(x, p, impl=strategy)
         elif isinstance(layer, PoolSpec):
@@ -72,7 +90,7 @@ def _layer_fn(layer, p, strategy, first_fc, compute_dtype):
             y = relu(x)
         elif isinstance(layer, LRNSpec):
             y = lrn(x, size=layer.size, alpha=layer.alpha, beta=layer.beta,
-                    k=layer.k)
+                    k=layer.k, channel_map=layer.channel_map)
         elif isinstance(layer, DropoutSpec):
             y = dropout_inference(x)
         elif isinstance(layer, SoftmaxSpec):

@@ -90,7 +90,6 @@ def prepare_data_dir(
     """
     from qcnn_tpu.formats.reference_codec import write_cbn
     from qcnn_tpu.models.loader import load_alexnet_reference
-    from qcnn_tpu.models.zoo import alexnet
 
     data_dir = os.path.join(scratch_dir, "data")
     bin_dir = os.path.join(data_dir, "AlexNet", "Bin.Files")
@@ -118,8 +117,6 @@ def prepare_data_dir(
     fc6_path = os.path.join(bin_dir, "bvlc_alexnet_aCaF.asmtLst.16.cbn")
     if not os.path.exists(fc6_path):
         res = load_alexnet_reference(reference_dir, synthesize_missing=True)
-        spec = alexnet()
-        del spec
         for i in res.synthesized_layers:
             asmt = np.asarray(res.params[i]["assignments"], np.uint8)
             write_cbn(

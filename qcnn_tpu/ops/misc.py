@@ -26,6 +26,15 @@ def caffe_max_pool(
     if ceil_mode:
         oh = -(-(h + 2 * pad - kernel) // stride) + 1
         ow = -(-(w + 2 * pad - kernel) // stride) + 1
+        if pad:
+            # Caffe's clamp (pooling_layer.cpp): drop a trailing output
+            # whose window lies entirely in padding — without this the
+            # extra row/column is all -inf and the spatial size diverges
+            # from the reference for ceil-mode pools with pad > 0
+            if (oh - 1) * stride >= h + pad:
+                oh -= 1
+            if (ow - 1) * stride >= w + pad:
+                ow -= 1
     else:
         oh = (h + 2 * pad - kernel) // stride + 1
         ow = (w + 2 * pad - kernel) // stride + 1

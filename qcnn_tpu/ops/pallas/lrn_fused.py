@@ -34,21 +34,11 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 from jax.experimental import pallas as pl
 
-
-def _neg_pow(scale, beta: float):
-    """scale ** (-beta) with rsqrt composition for common betas
-    (mirrors ops/misc._neg_pow; jnp.power is two transcendentals)."""
-    if beta == 0.75:
-        r = lax.rsqrt(scale)
-        return r * jnp.sqrt(r)
-    if beta == 0.5:
-        return lax.rsqrt(scale)
-    if beta == 1.0:
-        return 1.0 / scale
-    return jnp.power(scale, -beta)
+# one rsqrt-composition table for the production LRN and these kernels —
+# the A/B comparisons the kernels exist for must share the exact math
+from qcnn_tpu.ops.misc import _neg_pow
 
 
 def _kernel(x_ref, band_ref, out_ref, *, c, alpha_over_n, k, beta):

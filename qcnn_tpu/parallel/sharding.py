@@ -51,12 +51,18 @@ def param_shardings(
             continue
         if isinstance(layer, FCSpec) and is_pq(p) and fc_mode != "replicated":
             cout, s = p["assignments"].shape
+            # extra keys beyond the PQ triple (e.g. the OPQ "perm", int8
+            # act_scale sidecars) replicate — missing them here used to
+            # KeyError in shard_params on OPQ-quantized checkpoints
+            extra = {k: rep for k in p
+                     if k not in ("codebooks", "assignments", "bias")}
             if fc_mode == "column" and cout % tp == 0:
                 out.append(
                     {
                         "codebooks": rep,
                         "assignments": NamedSharding(mesh, P(MODEL_AXIS, None)),
                         "bias": NamedSharding(mesh, P(MODEL_AXIS)),
+                        **extra,
                     }
                 )
                 continue
@@ -66,6 +72,7 @@ def param_shardings(
                         "codebooks": NamedSharding(mesh, P(MODEL_AXIS, None, None)),
                         "assignments": NamedSharding(mesh, P(None, MODEL_AXIS)),
                         "bias": rep,
+                        **extra,
                     }
                 )
                 continue

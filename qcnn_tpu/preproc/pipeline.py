@@ -66,11 +66,14 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int,
     wl, wh, wwl, wwh = taps(scale_w, out_w, w)
 
     # 4-tap gather with the reference's explicit weight renormalization
-    # (degenerate at borders where lo == hi, BmpImgIO.cc:160-174)
-    v_lt = img[hl][:, wl]
-    v_rt = img[hl][:, wh]
-    v_lb = img[hh][:, wl]
-    v_rb = img[hh][:, wh]
+    # (degenerate at borders where lo == hi, BmpImgIO.cc:160-174);
+    # row gathers hoisted — img[hl]/img[hh] were each materialized twice
+    rows_lo = img[hl]
+    rows_hi = img[hh]
+    v_lt = rows_lo[:, wl]
+    v_rt = rows_lo[:, wh]
+    v_lb = rows_hi[:, wl]
+    v_rb = rows_hi[:, wh]
     w_lt = (whl[:, None] * wwl[None, :])[..., None]
     w_rt = (whl[:, None] * wwh[None, :])[..., None]
     w_lb = (whh[:, None] * wwl[None, :])[..., None]

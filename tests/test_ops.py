@@ -325,3 +325,25 @@ def test_int8_static_scale_zero_floor():
     x2 = jnp.asarray(np.ones((2, 8), np.float32))
     xq2, _ = quantize_activations_int8(x2, act_scale=0.0)
     assert np.all(np.abs(np.asarray(xq2)) <= 127)
+
+
+def test_caffe_max_pool_ceil_pad_clamp(rng):
+    """Caffe clamps a ceil-mode output whose window lies entirely in
+    padding (pooling_layer.cpp); torch's ceil_mode has the same rule —
+    cross-check shapes and values against torch."""
+    import torch
+
+    from qcnn_tpu.ops.misc import caffe_max_pool
+
+    for h, k, s, p in [(3, 2, 2, 1), (5, 3, 2, 1), (7, 3, 3, 1),
+                       (6, 2, 2, 1)]:
+        x = rng.standard_normal((2, h, h, 3)).astype(np.float32)
+        got = np.asarray(caffe_max_pool(
+            jnp.asarray(x), kernel=k, stride=s, pad=p, ceil_mode=True))
+        want = torch.nn.functional.max_pool2d(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+            kernel_size=k, stride=s, padding=p, ceil_mode=True,
+        ).numpy().transpose(0, 2, 3, 1)
+        assert got.shape == want.shape, (h, k, s, p, got.shape, want.shape)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        assert np.isfinite(got).all()

@@ -191,3 +191,17 @@ def test_dp_forward_resnet_family(rng):
     got = np.asarray(dp_fwd(prepared, x))
     want = np.asarray(resnet.forward(prepared, x, spec=spec))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_shard_params_with_opq_perm(rng, mesh8):
+    """OPQ-quantized params carry a 'perm' key; the FC shardings must
+    replicate it instead of KeyError-ing (round-3 review fix)."""
+    spec, params = _tiny_pq_model(rng)
+    params = [dict(p) if p is not None else None for p in params]
+    cin = params[3]["codebooks"].shape[0] * params[3]["codebooks"].shape[2]
+    params[3]["perm"] = np.random.default_rng(0).permutation(
+        cin).astype(np.int32)
+    for fc_mode in ("column", "row"):
+        sharded = shard_params(spec, params, mesh8, fc_mode=fc_mode)
+        np.testing.assert_array_equal(
+            np.asarray(sharded[3]["perm"]), params[3]["perm"])
