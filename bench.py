@@ -48,7 +48,16 @@ def load_params():
 
 
 def measure_per_step(spec, params, x, conv_impls, fc_impls, dtype, k1, k2,
-                     dp: int = 0):
+                     dp: int = 0, perturb: bool = False):
+    """perturb=True (--perturb-params) perturbs every float param leaf per
+    loop iteration so NOTHING params-derived (e.g. the memory modes'
+    in-step decode) can be hoisted out of the timing loop. Off by default:
+    XLA does not hoist these on this toolchain (measured twice — the
+    take_along_axis non-hoist in KERNEL_STUDIES §9b, and the stage3 probe
+    where unperturbed in-step decode cost fully persisted, §9e/9f) and the
+    ~20 extra per-leaf perturbation kernels dominate batch-1 steps
+    (measured: memory b1 0.36 -> 0.75 ms under perturbation). Use the flag
+    to audit a new toolchain."""
     from qcnn_tpu.models import network
     from qcnn_tpu.utils.devtime import time_device_fn
 
@@ -65,7 +74,8 @@ def measure_per_step(spec, params, x, conv_impls, fc_impls, dtype, k1, k2,
         step = dp_wrap(step, dp)
     # reps=5: each rep is two ~30 ms fetches once compiled; the extra
     # samples damp the shared chip's run-to-run variance (~±10 %)
-    return time_device_fn(step, x, params, k1=k1, k2=k2, reps=5)
+    return time_device_fn(step, x, params, k1=k1, k2=k2, reps=5,
+                          perturb_rest=perturb)
 
 
 def dp_wrap(step, dp: int):
@@ -96,7 +106,8 @@ def dp_wrap(step, dp: int):
 def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
                  dp: int = 0, memory: bool = False,
                  conv_impl: str = "auto", fc_impl: str = "auto",
-                 pp: int = 0, microbatches: int = 0):
+                 pp: int = 0, microbatches: int = 0,
+                 perturb: bool = False):
     """Throughput for the ResNet/ViT PQ families (synthetic weights —
     no pretrained checkpoints ship offline; timing is weight-agnostic).
     memory=True keeps PQ params compressed (in-step one-hot decode);
@@ -109,6 +120,11 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
 
     rng = np.random.default_rng(1)
     if model in ("vgg16", "vgg_cnn_s", "caffenet"):
+        if pp:
+            raise NotImplementedError(
+                "--pp applies to the ViT family (linear-spec models would "
+                "silently measure a plain single-device forward)"
+            )
         import jax.numpy as jnp
 
         from qcnn_tpu.models import network, synth, zoo
@@ -137,7 +153,8 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
 
         if dp:
             step = dp_wrap(step, dp)
-        return time_device_fn(step, x, prepared, k1=k1, k2=k2), spec
+        return time_device_fn(step, x, prepared, k1=k1, k2=k2,
+                              perturb_rest=perturb), spec
     if model.startswith("resnet"):
         from qcnn_tpu.models import resnet as fam
 
@@ -157,6 +174,12 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
         # pipeline-parallel scaling mode (ViT only: homogeneous blocks)
         if not model.startswith("vit"):
             raise NotImplementedError("--pp applies to the ViT family")
+        if pp > len(jax.devices()):
+            raise SystemExit(
+                f"--pp {pp} > {len(jax.devices())} visible devices "
+                f"(set XLA_FLAGS=--xla_force_host_platform_device_count / "
+                f"--cpu) — a truncated mesh would mis-report scaling"
+            )
         from qcnn_tpu.parallel.pipeline import (
             make_pipeline_mesh, pipeline_vit_forward,
             place_pipeline_params, stack_vit_blocks,
@@ -181,7 +204,8 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
 
     if dp:
         step = dp_wrap(step, dp)
-    return time_device_fn(step, x, prepared, k1=k1, k2=k2), spec
+    return time_device_fn(step, x, prepared, k1=k1, k2=k2,
+                          perturb_rest=perturb), spec
 
 
 def main() -> None:
@@ -205,6 +229,10 @@ def main() -> None:
                          "(GPipe schedule, parallel/pipeline.py)")
     ap.add_argument("--microbatches", type=int, default=0,
                     help="pipeline microbatches (default 2*pp)")
+    ap.add_argument("--perturb-params", action="store_true",
+                    help="perturb every float param leaf per timing-loop "
+                         "iteration — hoisting audit for the in-step "
+                         "decode modes (see measure_per_step docstring)")
     ap.add_argument("--lane-pad", action="store_true",
                     help="opt-in exact conv1 C=96->128 lane pad "
                          "(models/lanepad.py) — measured NEGATIVE at "
@@ -250,6 +278,7 @@ def main() -> None:
                 dp=args.dp, pp=args.pp, microbatches=args.microbatches,
                 memory=("memory" in (args.conv_impl, args.fc_impl)),
                 conv_impl=args.conv_impl, fc_impl=args.fc_impl,
+                perturb=args.perturb_params,
             )
         except NotImplementedError as e:
             log(f"error: {e}")
@@ -307,6 +336,7 @@ def main() -> None:
     per_step = measure_per_step(
         spec_run, prepared, synth.random_input(spec, args.batch, seed=1),
         conv_impls, fc_impls, act_dtype, args.k1, args.k2, dp=args.dp,
+        perturb=args.perturb_params,
     )
     imgs_per_sec = args.batch / per_step
     log(f"batch={args.batch}: {per_step*1e3:.3f} ms/step, "
@@ -326,6 +356,7 @@ def main() -> None:
                 spec_run, prepared, synth.random_input(spec, 1, seed=2),
                 conv_impls, fc_impls, act_dtype,
                 max(args.k1, 8), max(args.k2, 64),
+                perturb=args.perturb_params,
             )
             log(f"batch=1: {per_step1*1e3:.3f} ms/image steady-state")
         except Exception as e:  # noqa: BLE001 - latency is optional

@@ -100,7 +100,11 @@ def cmd_classify(args) -> int:
         for cid, prob, name in zip(res.class_ids, res.probs, res.class_names):
             print(f"  {prob:6.4f}  {cid:4d}  {name}")
         if res.ground_truth is not None:
-            hit = res.ground_truth in res.class_names
+            # compare by id: ImageNet names are not unique (two 'crane'
+            # classes), so name membership over-counts hits
+            hit = (res.ground_truth_id in res.class_ids
+                   if res.ground_truth_id is not None
+                   else res.ground_truth in res.class_names)
             judged += 1
             correct += hit
             print(f"  ground truth: {res.ground_truth}"
@@ -141,6 +145,9 @@ def cmd_eval(args) -> int:
         )
         if os.path.exists(labels_path):
             clf.image_labels = load_image_labels(labels_path)
+        elif args.labels:
+            log(f"error: --labels file not found: {args.labels}")
+            return 2
     else:
         clf = Classifier.from_reference(
             args.model,
@@ -239,7 +246,9 @@ def cmd_eval(args) -> int:
         return 0
     # Fallback: the 10 shipped BMPs with labels (the big .bin is a
     # download-only blob, reference README.md:7-11)
-    log(f"dataset blob not found at {data_path}; evaluating shipped BMPs")
+    if not (is_family and os.path.exists(data_path)):
+        # (the family case already logged its wrong-semantics note above)
+        log(f"dataset blob not found at {data_path}; evaluating shipped BMPs")
     bmps = sorted(
         glob.glob(os.path.join(args.reference_dir, "Bmp.Files", "*.BMP"))
     )
@@ -252,6 +261,10 @@ def cmd_eval(args) -> int:
         p for p in bmps
         if os.path.splitext(os.path.basename(p))[0] in clf.image_labels
     ]
+    if not labeled:
+        log("error: none of the shipped BMPs have a ground-truth label "
+            "(labels file missing or mismatched) — nothing to evaluate")
+        return 1
     batch = clf.pre.load_batch(labeled)  # threaded native pipeline
     probs = np.asarray(clf._fwd(clf.params, batch))
     labels = [
@@ -587,27 +600,20 @@ def cmd_make_family(args) -> int:
 # story; its loop is synchronous batch-1, CaffeEva.cc:167-210)
 # ---------------------------------------------------------------------------
 
-def family_engine_from_checkpoint(path: str, config,
-                                  *, memory_mode: bool = False,
-                                  compute_dtype=None):
-    """Build (engine, preprocessor, class_names) from a family checkpoint
-    — a self-contained serving artifact: the embedded torch-style eval
-    transform makes BMP uploads work like the linear models (raw X-Shape
-    tensors remain accepted). The engine is returned un-started."""
+def _build_family_engine(fam, spec, params, config, *,
+                         memory_mode: bool, compute_dtype):
+    """One engine builder for every family-params source (checkpoint or
+    synthetic): compute-dtype defaulting, the int8->bf16 activation rule,
+    prepare, the partial forward, and the bf16 upload cast."""
     import functools
 
     import jax
     import jax.numpy as jnp
     import ml_dtypes
 
-    from qcnn_tpu.formats.checkpoint import (
-        load_family_checkpoint, load_preprocessor,
-    )
     from qcnn_tpu.models.prepare import act_dtype_for
     from qcnn_tpu.serve.engine import BatchingEngine
 
-    family, spec, params = load_family_checkpoint(path)
-    fam = __import__(f"qcnn_tpu.models.{family}", fromlist=[family])
     if compute_dtype is None:
         compute_dtype = (
             jnp.bfloat16 if jax.default_backend() == "tpu"
@@ -618,15 +624,34 @@ def family_engine_from_checkpoint(path: str, config,
     act_dtype = act_dtype_for(compute_dtype)
     prepared = fam.prepare_params(spec, params, dtype=compute_dtype,
                                   memory=memory_mode)
-    size = spec.in_size if family == "resnet" else spec.image_size
+    size = getattr(spec, "in_size", None) or spec.image_size
     fwd = functools.partial(
         fam.forward, spec=spec, compute_dtype=act_dtype,
         with_softmax=True,
     )
     upload = (ml_dtypes.bfloat16 if act_dtype == jnp.bfloat16 else None)
-    engine = BatchingEngine.from_forward(
+    return BatchingEngine.from_forward(
         fwd, prepared, (size, size, 3), config=config,
         upload_dtype=upload,
+    )
+
+
+def family_engine_from_checkpoint(path: str, config,
+                                  *, memory_mode: bool = False,
+                                  compute_dtype=None):
+    """Build (engine, preprocessor, class_names) from a family checkpoint
+    — a self-contained serving artifact: the embedded torch-style eval
+    transform makes BMP uploads work like the linear models (raw X-Shape
+    tensors remain accepted). The engine is returned un-started."""
+    from qcnn_tpu.formats.checkpoint import (
+        load_family_checkpoint, load_preprocessor,
+    )
+
+    family, spec, params = load_family_checkpoint(path)
+    fam = __import__(f"qcnn_tpu.models.{family}", fromlist=[family])
+    engine = _build_family_engine(
+        fam, spec, params, config,
+        memory_mode=memory_mode, compute_dtype=compute_dtype,
     )
     preprocessor = load_preprocessor(path)
     class_names = None
@@ -681,8 +706,15 @@ def cmd_serve(args) -> int:
             )
 
             spec, params = load_checkpoint(args.checkpoint)
+            # calibrated int8 activation scales ride as a checkpoint
+            # sidecar (calibrate CLI); without them int8 serving silently
+            # falls back to the measured-slower dynamic amax (§6b)
+            from qcnn_tpu.formats.checkpoint import load_act_scales
+
+            kw = _impl_kwargs(args)
+            kw.setdefault("act_scales", load_act_scales(args.checkpoint))
             engine = BatchingEngine(
-                spec, params, config=config, **_impl_kwargs(args)
+                spec, params, config=config, **kw
             ).start()
             preprocessor = load_preprocessor(args.checkpoint)
             names_path = os.path.join(args.checkpoint, "class_names.txt")
@@ -705,30 +737,11 @@ def cmd_serve(args) -> int:
 
             spec = fam.VITS[args.model]()
             size = spec.image_size
-        import jax
-        import jax.numpy as jnp
-        import ml_dtypes
-
-        from qcnn_tpu.models.prepare import act_dtype_for
-
-        compute_dtype = (
-            _dtype_arg(args.dtype) if args.dtype else (
-                jnp.bfloat16 if jax.default_backend() == "tpu"
-                else jnp.float32
-            )
-        )
-        act_dtype = act_dtype_for(compute_dtype)
         pq = fam.quantize_params(spec, fam.init_dense_params(spec, seed=0))
-        prepared = fam.prepare_params(spec, pq, dtype=compute_dtype,
-                                      memory=args.memory_mode)
-        fwd = functools.partial(
-            fam.forward, spec=spec, compute_dtype=act_dtype,
-            with_softmax=True,
-        )
-        engine = BatchingEngine.from_forward(
-            fwd, prepared, (size, size, 3), config=config,
-            upload_dtype=(ml_dtypes.bfloat16
-                          if act_dtype == jnp.bfloat16 else None),
+        engine = _build_family_engine(
+            fam, spec, pq, config,
+            memory_mode=args.memory_mode,
+            compute_dtype=(_dtype_arg(args.dtype) if args.dtype else None),
         ).start()
     else:
         from qcnn_tpu.eval.harness import Classifier
@@ -846,13 +859,17 @@ def _profile_family(args) -> int:
 
         spec = fam.VITS[args.model]()
         size = spec.image_size
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+             "int8": jnp.int8}[args.dtype]
     pq = fam.quantize_params(spec, fam.init_dense_params(spec, seed=0))
     prepared = jax.device_put(fam.prepare_params(spec, pq, dtype=dtype))
+    # int8 selects the weight representation; activations stay bf16
+    act_dtype = jnp.bfloat16 if args.dtype in ("bfloat16", "int8") \
+        else jnp.float32
     x = np.random.default_rng(1).standard_normal(
         (args.batch, size, size, 3)
     ).astype(np.float32)
-    segs = fam.forward_segments(spec, compute_dtype=dtype)
+    segs = fam.forward_segments(spec, compute_dtype=act_dtype)
     rows = profile_segments(segs, x, prepared)
     total = sum(t for _, t in rows)
     print(f"{args.model} batch={args.batch} {args.dtype} "

@@ -35,6 +35,9 @@ class ClassifyResult:
     class_names: list[str]
     ground_truth: Optional[str]
     time_total_s: float
+    # the id form: ImageNet has duplicate NAMES (two 'crane', two
+    # 'maillot' classes), so hit-testing must compare ids, not names
+    ground_truth_id: Optional[int] = None
 
 
 # Preprocessing/model wiring per reference model name
@@ -73,6 +76,7 @@ class _ClassifierBase:
             class_names=names,
             ground_truth=gt,
             time_total_s=elapsed,
+            ground_truth_id=(int(gt_id) if gt_id is not None else None),
         )
 
     def classify(self, bmp_path: str, top_k: int = 5) -> ClassifyResult:
