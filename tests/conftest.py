@@ -7,6 +7,7 @@ the same XLA graphs CPU-side. Real-TPU runs happen via bench.py.
 """
 
 import os
+import zlib
 
 # Force CPU even when the environment pins JAX_PLATFORMS to a TPU platform
 # (e.g. the axon tunnel, whose sitecustomize imports jax at interpreter start,
@@ -39,9 +40,17 @@ def reference_dir():
 
 @pytest.fixture(scope="session")
 def alexnet_bin_dir(reference_dir):
+    if not os.path.isdir(ALEXNET_BIN_DIR):
+        pytest.skip("AlexNet/Bin.Files not present in the reference checkout")
     return ALEXNET_BIN_DIR
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(20260816)
+@pytest.fixture()
+def rng(request):
+    """Fresh generator per test, seeded from the test's node id: margin-
+    sensitive assertions (quantizer error ratios etc.) see the SAME draws
+    whether the test runs alone, in the full suite, or after new tests are
+    added — a shared session generator made pass/fail depend on collection
+    order."""
+    seed = zlib.crc32(request.node.nodeid.encode()) ^ 20260816
+    return np.random.default_rng(seed)

@@ -9,7 +9,6 @@ checkpoint sidecar + CLI, (c) flow through Classifier.from_checkpoint.
 import json
 import os
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

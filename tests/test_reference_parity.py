@@ -135,7 +135,6 @@ def test_synthetic_parity_other_models(bmps, model):
         )
     calib = pre.load(paths[0])
     params = refeng.synthesize_live_pq_params(spec, calib, seed=9)
-    del params_placeholder
     data_dir = refeng.prepare_synth_data_dir(
         spec, params, data_dir_name, model=model
     )

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import ast
 import os
+import re
 import sys
 
 MAX_LINE = 100
@@ -66,9 +67,6 @@ class ImportTracker(ast.NodeVisitor):
     def visit_Name(self, node):
         self.used.add(node.id)
 
-    def visit_Attribute(self, node):
-        self.generic_visit(node)
-
 
 def check_python(path: str, src: str, findings: list):
     try:
@@ -79,18 +77,21 @@ def check_python(path: str, src: str, findings: list):
 
     # __init__.py imports are the package API (re-exports), not dead code
     if os.path.basename(path) != "__init__.py":
-        import re
-
         tracker = ImportTracker()
         tracker.visit(tree)
+        # textual fallback for __all__, string annotations, docstring
+        # references: used if the name appears on a NON-import line
+        # (counting import lines let duplicate imports mask each other)
+        non_import_src = "\n".join(
+            ln for ln in src.splitlines()
+            if not re.match(r"\s*(import |from )", ln)
+        )
         for name, (lineno, full) in tracker.imports.items():
             if name in tracker.used or name.startswith("_"):
                 continue
             if full == "annotations":  # from __future__ import annotations
                 continue
-            # textual fallback for __all__, string annotations, docstring
-            # references: used if the name appears beyond the import itself
-            if len(re.findall(rf"\b{re.escape(name)}\b", src)) > 1:
+            if re.search(rf"\b{re.escape(name)}\b", non_import_src):
                 continue
             findings.append((path, lineno, f"unused import: {full}"))
 
@@ -123,16 +124,26 @@ def check_text(path: str, src: str, findings: list):
     for i, line in enumerate(src.splitlines(), 1):
         if line.rstrip("\n") != line.rstrip():
             findings.append((path, i, "trailing whitespace"))
-        if line.startswith("\t"):
+        indent = line[: len(line) - len(line.lstrip())]
+        if "\t" in indent:
             findings.append((path, i, "tab indentation"))
         if len(line) > MAX_LINE:
             findings.append((path, i, f"line too long ({len(line)})"))
 
 
 def main(argv) -> int:
-    targets = argv[1:] or [
-        t for t in DEFAULT_TARGETS if os.path.exists(t)
-    ]
+    if argv[1:]:
+        missing = [t for t in argv[1:] if not os.path.exists(t)]
+        if missing:
+            print(f"qlint: no such target(s): {missing}", file=sys.stderr)
+            return 2
+        targets = argv[1:]
+    else:
+        targets = [t for t in DEFAULT_TARGETS if os.path.exists(t)]
+        if not targets:
+            print("qlint: none of the default targets exist here (run from "
+                  "the repo root)", file=sys.stderr)
+            return 2
     findings: list[tuple[str, int, str]] = []
     n_files = 0
     for path in sorted(set(iter_files(targets))):

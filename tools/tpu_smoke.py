@@ -41,6 +41,7 @@ def main() -> int:
               "meaningful compiled on hardware", file=sys.stderr)
         return 2
 
+    from qcnn_tpu.ops import lut as lut_ops
     from qcnn_tpu.ops.fc import pq_fc_decode
     from qcnn_tpu.ops.pallas import (
         decode_fc_weight_gather,
@@ -76,8 +77,6 @@ def main() -> int:
         # dynamic-gather kernels (§9c/§9d): lane orientation compiles on
         # this toolchain (tools/pallas_gather_probe.py) — hard checks, no
         # skips (round-2 ADVICE: skip-on-exception masked real kernel bugs)
-        from qcnn_tpu.ops import lut as lut_ops
-
         got = np.asarray(pq_fc_fused(
             jnp.asarray(x), p, interpret=False, decode="gather"))
         ok &= check(f"pq_fc_fused-gather/{name}", got, want, 1e-4)
@@ -92,7 +91,6 @@ def main() -> int:
 
     # conv gather decode (ResNet-style K=128 geometry — the memory-mode
     # decode the one-hot path pays 32x MXU MACs for), both layouts
-    from qcnn_tpu.ops import lut as lut_ops
     from qcnn_tpu.ops.pallas import decode_conv_kernel_gather
 
     cb = jnp.asarray(
@@ -144,7 +142,7 @@ def main() -> int:
     kw = dict(size=5, alpha=1e-4, beta=0.75, k=1.0)
     xl = jnp.asarray(rng.standard_normal((8, 13, 13, 96)) * 2, jnp.bfloat16)
     want_l = np.asarray(lrn(xl, impl="band", **kw), np.float32)
-    for variant in ("dot", "shift"):
+    for variant in ("dot", "shift", "roll"):
         got_l = np.asarray(
             lrn_fused(xl, window=variant, tile_m=256, interpret=False, **kw),
             np.float32,

@@ -19,7 +19,6 @@ import numpy as np
 
 
 def main() -> int:
-    import jax
     import jax.numpy as jnp
 
     from qcnn_tpu.models.vit import _masked_attention
