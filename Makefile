@@ -1,7 +1,8 @@
 # Native components (also auto-built on first import; this target is for
-# explicit/offline builds).
+# explicit/offline builds). Keep flags in sync with
+# qcnn_tpu/native_build.py (the bindings' auto-build flag source).
 CXX ?= g++
-CXXFLAGS := -O3 -std=c++17 -shared -fPIC
+CXXFLAGS ?= -O3 -std=c++17 -shared -fPIC
 
 NATIVE := qcnn_tpu/formats/native/libcbncodec.so \
           qcnn_tpu/preproc/native/libimgproc.so

@@ -25,10 +25,9 @@ _build_failed = False
 
 
 def _build() -> None:
-    cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC,
-    ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    from qcnn_tpu.native_build import build_cmd
+
+    subprocess.run(build_cmd(_SRC, _SO), check=True, capture_output=True)
 
 
 class _Lib:

@@ -48,6 +48,7 @@ void qcnn_unpack_pages(const uint8_t* pages, int64_t n, int bits,
 // zeroed here (the reference zero-fills each page, FileIO.h:321).
 void qcnn_pack_pages(const uint32_t* vals, int64_t n, int bits,
                      uint8_t* pages) {
+  if (bits <= 0 || bits >= 32) return;  // (1u << bits) below is UB at 32
   const int per_page = kPageBits / bits;
   const int64_t n_pages = (n + per_page - 1) / per_page;
   memset(pages, 0, static_cast<size_t>(n_pages) * kPageBytes);

@@ -190,6 +190,10 @@ def write_cbn(
         arr = arr.astype(np.uint8)
     if bits is None:
         bits = max(1, int(arr.max()).bit_length())
+    if not 1 <= bits <= 8:
+        # the on-disk format is uint8 indices; read_cbn rejects the same
+        # range — writing wider would produce a file nothing can read
+        raise ValueError(f"cbn bits_per_element must be 1..8, got {bits}")
     if int(arr.max()) >= (1 << bits):
         raise ValueError(f"max index {int(arr.max())} does not fit in {bits} bits")
     lib = _native_codec()

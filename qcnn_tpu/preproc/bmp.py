@@ -89,3 +89,38 @@ def decode_image(data: bytes, name: str = "<bytes>") -> np.ndarray:
         raise ValueError(f"{name}: undecodable image ({e})") from e
     rgb = np.asarray(img, np.float32)
     return np.ascontiguousarray(rgb[..., ::-1])
+
+
+def encode_bmp24(pixels_hwc: "np.ndarray", *, input_order: str = "rgb"
+                 ) -> bytes:
+    """Encode (H, W, 3) uint8 pixels as a 24-bpp BI_RGB bottom-up BMP.
+
+    The write-side counterpart of decode_bmp (the reference's
+    bitmap_image.hpp both reads and writes this layout) and the ONE
+    encoder behind every test/sanitize corpus — four hand-rolled copies
+    had started to drift. input_order names the channel order of the
+    input array; the file stores BGR either way.
+    """
+    import struct
+
+    arr = np.asarray(pixels_hwc, np.uint8)
+    h, w, _ = arr.shape
+    if input_order == "rgb":
+        arr = arr[..., ::-1]
+    elif input_order != "bgr":
+        raise ValueError(f"unknown input_order {input_order!r}")
+    row_bytes = (3 * w + 3) & ~3
+    header = bytearray(54)
+    header[0:2] = b"BM"
+    struct.pack_into("<I", header, 2, 54 + row_bytes * h)
+    struct.pack_into("<I", header, 10, 54)
+    struct.pack_into("<I", header, 14, 40)
+    struct.pack_into("<i", header, 18, w)
+    struct.pack_into("<i", header, 22, h)
+    struct.pack_into("<H", header, 26, 1)
+    struct.pack_into("<H", header, 28, 24)
+    pad = b"\0" * (row_bytes - 3 * w)
+    rows = bytearray()
+    for r in range(h - 1, -1, -1):
+        rows += arr[r].tobytes() + pad
+    return bytes(header) + bytes(rows)

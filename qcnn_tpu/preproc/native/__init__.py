@@ -24,15 +24,19 @@ _build_failed = False
 
 
 def _build() -> None:
+    from qcnn_tpu.native_build import build_cmd
+
     subprocess.run(
-        ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-         "-o", _SO, _SRC],
-        check=True, capture_output=True,
+        build_cmd(_SRC, _SO, "-pthread"), check=True, capture_output=True,
     )
 
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
+    if os.environ.get("QCNN_DISABLE_NATIVE"):
+        # same kill switch as formats/native: force the NumPy fallback for
+        # ALL native C++ (this lib parses untrusted HTTP uploads)
+        return None
     with _lock:
         if _lib is not None or _build_failed:
             return _lib

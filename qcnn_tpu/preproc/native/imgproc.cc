@@ -112,11 +112,22 @@ Taps make_taps(double scale, int n_out, int n_src) {
 
 // Bilinear resize with border weight renormalization (pipeline.py:42-80).
 Image resize_bilinear(const Image& img, int out_h, int out_w, bool relaxed) {
+  // out dims < 2 make the align-corners divisor 0 (NaN taps); a 1-pixel
+  // SOURCE is fine under STRICT (taps clamp to pixel 0) but under RELAXED
+  // makes s = 0 and the divisions below produce NaN/inf whose int cast is
+  // UB (confirmed under UBSan). Signal failure via an empty image rather
+  // than throwing: the ASan-preloaded sanitize gate cannot unwind
+  // __cxa_throw from an instrumented lib under uninstrumented python.
+  if (out_h < 2 || out_w < 2 || (relaxed && (img.h < 2 || img.w < 2))) {
+    Image empty;
+    empty.h = empty.w = 0;
+    return empty;
+  }
   double scale_h = static_cast<double>(img.h - 1) / (out_h - 1);
   double scale_w = static_cast<double>(img.w - 1) / (out_w - 1);
   if (relaxed) {
     double s = std::min(scale_h, scale_w);
-    scale_h = scale_w = s;
+    scale_h = scale_w = s;  // s > 0 guaranteed by the >=2px guard above
     out_h = static_cast<int>((img.h - 1) / s + kEps) + 1;
     out_w = static_cast<int>((img.w - 1) / s + kEps) + 1;
   }
@@ -149,7 +160,7 @@ Image resize_bilinear(const Image& img, int out_h, int out_w, bool relaxed) {
   return out;
 }
 
-void center_crop_into(const Image& img, int crop_h, int crop_w,
+bool center_crop_into(const Image& img, int crop_h, int crop_w,
                       const float* mean, int mean_h, int mean_w,
                       bool subtract_before_crop, float* dst) {
   // subtract_before_crop == FULL mean order: mean spans the full resized
@@ -158,6 +169,11 @@ void center_crop_into(const Image& img, int crop_h, int crop_w,
   int ox = (img.w - crop_w) / 2;
   int m_oy = (mean_h - crop_h) / 2;
   int m_ox = (mean_w - crop_w) / 2;
+  // a resized image (or mean) smaller than the crop would make these
+  // negative and the row pointers read out of bounds
+  if (oy < 0 || ox < 0 || (!subtract_before_crop && (m_oy < 0 || m_ox < 0)) ||
+      (subtract_before_crop && (mean_h < img.h || mean_w < img.w)))
+    return false;
   for (int y = 0; y < crop_h; ++y) {
     const float* src = img.data.data() +
                        (static_cast<size_t>(y + oy) * img.w + ox) * 3;
@@ -168,6 +184,7 @@ void center_crop_into(const Image& img, int crop_h, int crop_w,
             : mean + (static_cast<size_t>(y + m_oy) * mean_w + m_ox) * 3;
     for (int i = 0; i < crop_w * 3; ++i) out_row[i] = src[i] - mean_row[i];
   }
+  return true;
 }
 
 // Half-pixel-convention bilinear resize (pipeline.py
@@ -259,16 +276,21 @@ int qcnn_preproc_batch(const uint8_t** buffers, const int64_t* lengths,
         }
         Image resized = resize_bilinear(img, full_h, full_w, relaxed != 0);
         bool full_order = mean_full != 0;
-        if (full_order &&
-            (resized.h != mean_h || resized.w != mean_w)) {
-          // FULL order requires exact-size mean (pipeline.py raises here);
-          // treat as failure rather than silently misalign.
+        if (resized.h == 0 ||
+            (full_order &&
+             (resized.h != mean_h || resized.w != mean_w))) {
+          // degenerate resize, or FULL order without an exact-size mean
+          // (pipeline.py raises here): fail rather than silently misalign
           std::memset(dst, 0, out_stride * sizeof(float));
           failures.fetch_add(1);
           continue;
         }
-        center_crop_into(resized, crop_h, crop_w, mean, mean_h, mean_w,
-                         full_order, dst);
+        if (!center_crop_into(resized, crop_h, crop_w, mean, mean_h, mean_w,
+                              full_order, dst)) {
+          std::memset(dst, 0, out_stride * sizeof(float));
+          failures.fetch_add(1);
+          continue;
+        }
       } catch (...) {
         std::memset(dst, 0, out_stride * sizeof(float));
         failures.fetch_add(1);
@@ -327,6 +349,15 @@ int qcnn_preproc_batch_torch(const uint8_t** buffers, const int64_t* lengths,
         Image full = resize_halfpixel(img, oh, ow);
         int oy = (full.h - crop) / 2;
         int ox = (full.w - crop) / 2;
+        if (oy < 0 || ox < 0) {
+          // crop > resize (only the long side is clamped to crop above):
+          // negative offsets would read before the buffer. The Python
+          // binding rejects this config (TorchPreprocessor.__post_init__);
+          // defend in depth for direct callers.
+          std::memset(dst, 0, out_stride * sizeof(float));
+          failures.fetch_add(1);
+          continue;
+        }
         for (int y = 0; y < crop; ++y) {
           const float* src = full.data.data() +
                              (static_cast<size_t>(y + oy) * full.w + ox) * 3;

@@ -47,6 +47,13 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int,
     smaller align-corners factor, preserving aspect ratio (the output is at
     least (out_h, out_w) along each axis)."""
     h, w, _ = img.shape
+    if out_h < 2 or out_w < 2:
+        raise ValueError(f"degenerate resize output: ({out_h}, {out_w})")
+    if policy is ReszType.RELAXED and (h < 2 or w < 2):
+        # a 1-pixel axis makes the relaxed scale 0 and the int() of
+        # inf/NaN below undefined (STRICT is fine: taps clamp to pixel 0;
+        # the C++ pipeline raises the same way)
+        raise ValueError(f"relaxed resize needs >= 2px per axis: ({h}, {w})")
     scale_h = (h - 1) / (out_h - 1)
     scale_w = (w - 1) / (out_w - 1)
     if policy is ReszType.RELAXED:
@@ -233,6 +240,14 @@ class TorchPreprocessor:
     crop: int
     mean: np.ndarray  # (3,) float32, RGB, in [0, 1] units
     std: np.ndarray   # (3,) float32, RGB, in [0, 1] units
+
+    def __post_init__(self):
+        if self.crop > self.resize:
+            # the native crop would compute negative offsets and read out
+            # of bounds; torchvision raises for the same configuration
+            raise ValueError(
+                f"crop ({self.crop}) must be <= resize ({self.resize})"
+            )
 
     @classmethod
     def imagenet(cls, crop: int = 224, resize: int = 256

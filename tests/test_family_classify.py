@@ -6,7 +6,6 @@ The reference wires Caffe-style preprocessing per model in code
 torchvision/timm eval transform so `classify`/`serve --checkpoint` work on
 imported pretrained weights end to end."""
 
-import struct
 
 import numpy as np
 import pytest
@@ -16,26 +15,10 @@ torch = pytest.importorskip("torch")
 
 def _write_bmp(path: str, rgb_uint8: np.ndarray) -> None:
     """Encode (H, W, 3) uint8 RGB as a 24-bit BI_RGB bottom-up BMP."""
-    h, w, _ = rgb_uint8.shape
-    row_bytes = (3 * w + 3) & ~3
-    img_size = row_bytes * h
-    header = bytearray(54)
-    header[0:2] = b"BM"
-    struct.pack_into("<I", header, 2, 54 + img_size)
-    struct.pack_into("<I", header, 10, 54)
-    struct.pack_into("<I", header, 14, 40)
-    struct.pack_into("<i", header, 18, w)
-    struct.pack_into("<i", header, 22, h)
-    struct.pack_into("<H", header, 26, 1)
-    struct.pack_into("<H", header, 28, 24)
-    rows = bytearray()
-    bgr = rgb_uint8[..., ::-1]
-    pad = b"\0" * (row_bytes - 3 * w)
-    for r in range(h - 1, -1, -1):
-        rows += bgr[r].tobytes() + pad
-    with open(path, "wb") as f:
-        f.write(bytes(header) + bytes(rows))
+    from qcnn_tpu.preproc.bmp import encode_bmp24
 
+    with open(path, "wb") as f:
+        f.write(encode_bmp24(rgb_uint8, input_order="rgb"))
 
 def test_halfpixel_resize_matches_torch():
     from qcnn_tpu.preproc import resize_bilinear_halfpixel

@@ -154,23 +154,9 @@ def test_torch_transform_orientations(native_lib, rng):
     from qcnn_tpu.preproc.pipeline import TorchPreprocessor
 
     def write_bmp_bytes(rgb):
-        h, w, _ = rgb.shape
-        row_bytes = (3 * w + 3) & ~3
-        header = bytearray(54)
-        header[0:2] = b"BM"
-        struct.pack_into("<I", header, 2, 54 + row_bytes * h)
-        struct.pack_into("<I", header, 10, 54)
-        struct.pack_into("<I", header, 14, 40)
-        struct.pack_into("<i", header, 18, w)
-        struct.pack_into("<i", header, 22, h)
-        struct.pack_into("<H", header, 26, 1)
-        struct.pack_into("<H", header, 28, 24)
-        rows = bytearray()
-        pad = b"\0" * (row_bytes - 3 * w)
-        bgr = rgb[..., ::-1]
-        for r in range(h - 1, -1, -1):
-            rows += bgr[r].tobytes() + pad
-        return bytes(header) + bytes(rows)
+        from qcnn_tpu.preproc.bmp import encode_bmp24
+
+        return encode_bmp24(rgb, input_order="rgb")
 
     pre = TorchPreprocessor.imagenet(crop=96, resize=112)
     blobs = [

@@ -3,7 +3,6 @@ resize against a NumPy loop transcription of the reference's bilinear, and the
 end-to-end AlexNet preprocessing on the shipped validation BMPs."""
 
 import os
-import struct
 
 import numpy as np
 import pytest
@@ -19,22 +18,11 @@ from qcnn_tpu.preproc import (
 
 
 def _write_bmp24(path, img_bgr):
-    """Write a bottom-up 24-bpp BMP (independent of the decoder under test)."""
-    h, w, _ = img_bgr.shape
-    row_bytes = (w * 3 + 3) & ~3
-    pixel_bytes = row_bytes * h
-    header = struct.pack(
-        "<2sIHHI", b"BM", 14 + 40 + pixel_bytes, 0, 0, 14 + 40
-    ) + struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
-    )
-    rows = []
-    for y in range(h - 1, -1, -1):
-        row = img_bgr[y].astype(np.uint8).tobytes()
-        rows.append(row + b"\x00" * (row_bytes - len(row)))
-    with open(path, "wb") as f:
-        f.write(header + b"".join(rows))
+    """Write a bottom-up 24-bpp BMP (shared encoder, preproc/bmp.py)."""
+    from qcnn_tpu.preproc.bmp import encode_bmp24
 
+    with open(path, "wb") as f:
+        f.write(encode_bmp24(img_bgr, input_order="bgr"))
 
 def np_resize_reference(img, out_h, out_w, relaxed=False):
     """Loop transcription of ReszImg (BmpImgIO.cc:105-178)."""

@@ -49,26 +49,9 @@ def _reexec_with_asan() -> None:
 
 
 def _bmp(rgb) -> bytes:
-    import numpy as np
+    from qcnn_tpu.preproc.bmp import encode_bmp24
 
-    h, w, _ = rgb.shape
-    row_bytes = (3 * w + 3) & ~3
-    header = bytearray(54)
-    header[0:2] = b"BM"
-    struct.pack_into("<I", header, 2, 54 + row_bytes * h)
-    struct.pack_into("<I", header, 10, 54)
-    struct.pack_into("<I", header, 14, 40)
-    struct.pack_into("<i", header, 18, w)
-    struct.pack_into("<i", header, 22, h)
-    struct.pack_into("<H", header, 26, 1)
-    struct.pack_into("<H", header, 28, 24)
-    rows = bytearray()
-    pad = b"\0" * (row_bytes - 3 * w)
-    bgr = np.asarray(rgb)[..., ::-1]
-    for r in range(h - 1, -1, -1):
-        rows += bgr[r].tobytes() + pad
-    return bytes(header) + bytes(rows)
-
+    return encode_bmp24(rgb, input_order="rgb")
 
 def _bmp_with_dims(width: int, height: int, payload: bytes = b"") -> bytes:
     header = bytearray(54)
@@ -140,6 +123,15 @@ def main() -> int:
         relaxed=False, mean_hwc=mean, mean_full=True,
     )
     assert failures == len(hostile), (failures, len(hostile))
+    # RELAXED + CROP-order mean: the vgg_cnn_s production config
+    # (pipeline.py vgg_cnn_s), previously uncovered by this gate — the
+    # 1x1 blob is a DESIGNED per-image failure here (relaxed resize
+    # rejects sub-2px axes; imgproc.cc resize_bilinear guard)
+    out_r, failures_r = native_mod.preproc_batch(
+        blobs + hostile, full_h=256, full_w=256, crop_h=224, crop_w=224,
+        relaxed=True, mean_hwc=mean, mean_full=False,
+    )
+    assert failures_r == len(hostile) + 1, (failures_r, len(hostile))
     out2, failures2 = native_mod.preproc_batch_torch(
         blobs + hostile, resize=256, crop=224,
         mean=np.array([0.485, 0.456, 0.406], np.float32),
@@ -147,7 +139,14 @@ def main() -> int:
     )
     assert failures2 == len(hostile), failures2
     print(f"imgproc: {len(blobs)} ok + {len(hostile)} hostile "
-          "(both transforms) clean under ASan/UBSan", flush=True)
+          "(strict/FULL, relaxed/CROP, torch transforms) clean under "
+          "ASan/UBSan", flush=True)
+
+    # NOTE: guards inside the instrumented libs must signal failure via
+    # status returns, not exceptions — ASan preloaded into uninstrumented
+    # python cannot resolve real___cxa_throw and aborts on any throw from
+    # the instrumented .so (observed; imgproc's per-image error paths are
+    # all status-based for this reason).
 
     # --- cbncodec: random round-trips at every bit width
     cbn = ctypes.CDLL(cbn_so)
@@ -159,7 +158,13 @@ def main() -> int:
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8),
     ]
-    for bits in range(1, 17):
+    # bits 32 must be a guarded no-op, not shift-by-width UB
+    vals32 = np.zeros(8, np.uint32)
+    pages32 = np.zeros(4096, np.uint8)
+    cbn.qcnn_pack_pages(
+        vals32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), 8, 32,
+        pages32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    for bits in (*range(1, 17), 24, 31):
         n = int(rng.integers(1, 20000))
         vals = rng.integers(0, 1 << bits, n, dtype=np.uint32)
         per_page = (4096 * 8) // bits
@@ -172,8 +177,8 @@ def main() -> int:
             pages.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, bits,
             back.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
         assert np.array_equal(vals, back), bits
-    print("cbncodec: 16 bit-width round-trips clean under ASan/UBSan",
-          flush=True)
+    print("cbncodec: 18 bit-width round-trips + the bits>=32 guard clean "
+          "under ASan/UBSan", flush=True)
     print("NATIVE_SANITIZE OK", flush=True)
     return 0
 

@@ -53,6 +53,10 @@ int main(int argc, char* argv[]) {
   const std::string clsNames = argv[3];
   const std::string imgLabls = argv[4];
   const int topK = std::atoi(argv[5]);
+  if (topK <= 0) {
+    std::fprintf(stderr, "PARITY_ERR top_k must be a positive integer\n");
+    return 2;
+  }
 
   CaffeEvaWrapper wrapper;
   if (!wrapper.SetPath(mainDir, clsNames, imgLabls)) {
