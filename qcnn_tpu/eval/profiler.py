@@ -38,6 +38,19 @@ class LayerProfile:
     strategy: str
     out_shape: tuple
     seconds: float
+    # PQ phase split (the reference's swCompLkupTbl vs swEstiInPdVal,
+    # CaffeEva.cc:297-326): phase1 = LUT-build or weight-decode time,
+    # phase2 = seconds - phase1 (the gather/GEMM). None for layers with no
+    # per-call PQ phases (dense / decode-at-load); label "fused" marks
+    # single-kernel impls whose phases are not separable by construction.
+    phase_label: Optional[str] = None
+    phase1_seconds: Optional[float] = None
+
+    @property
+    def phase2_seconds(self) -> Optional[float]:
+        if self.phase1_seconds is None:
+            return None
+        return max(self.seconds - self.phase1_seconds, 0.0)
 
 
 def _layer_fn(layer, p, strategy, first_fc, compute_dtype):
@@ -58,11 +71,13 @@ def _layer_fn(layer, p, strategy, first_fc, compute_dtype):
                         x, p["kernel_q"], p["scale"], p["bias"],
                         stride=layer.stride, pad=layer.pad,
                         groups=layer.groups, act_scale=p.get("act_scale"),
+                        out_scale=p.get("out_scale"),
                     )
                 else:
                     y = conv_dense(x, p["kernel"], p["bias"],
                                    stride=layer.stride,
-                                   pad=layer.pad, groups=layer.groups)
+                                   pad=layer.pad, groups=layer.groups,
+                                   out_dtype=compute_dtype)
             else:
                 y = pq_conv(x, p, stride=layer.stride, pad=layer.pad,
                             groups=layer.groups, impl=strategy)
@@ -78,9 +93,11 @@ def _layer_fn(layer, p, strategy, first_fc, compute_dtype):
                     y = fc_dense_int8(
                         x, p["weight_q"], p["scale"], p["bias"],
                         act_scale=p.get("act_scale"),
+                        out_scale=p.get("out_scale"),
                     )
                 else:
-                    y = fc_dense(x, p["weight"], p["bias"])
+                    y = fc_dense(x, p["weight"], p["bias"],
+                                 out_dtype=compute_dtype)
             else:
                 y = pq_fc(x, p, impl=strategy)
         elif isinstance(layer, PoolSpec):
@@ -90,20 +107,120 @@ def _layer_fn(layer, p, strategy, first_fc, compute_dtype):
             y = relu(x)
         elif isinstance(layer, LRNSpec):
             y = lrn(x, size=layer.size, alpha=layer.alpha, beta=layer.beta,
-                    k=layer.k, channel_map=layer.channel_map)
+                    k=layer.k, channel_map=layer.channel_map,
+                    sum_dtype=compute_dtype)
         elif isinstance(layer, DropoutSpec):
             y = dropout_inference(x)
         elif isinstance(layer, SoftmaxSpec):
             y = softmax(x.astype(jnp.float32))
         else:
             raise TypeError(layer)
-        if compute_dtype is not None and isinstance(
-            layer, (ConvSpec, FCSpec)
-        ):
+        if (compute_dtype is not None and y.dtype != jnp.int8
+                and isinstance(layer, (ConvSpec, FCSpec))):
             y = y.astype(compute_dtype)
         return y
 
     return fn
+
+
+# strategies whose phases live in ONE Pallas kernel — not separable
+_FUSED_STRATS = {"fused", "fgather", "pallas"}
+
+
+def _phase1_fn(layer, p, strategy, first_fc, groups):
+    """(label, fn(x_or_small, params) -> scalar) timing the per-call PQ
+    PHASE 1 of this strategy: the weight decode (in-step decode modes) or
+    the LUT build (LUT/gather modes). Returns None when the strategy has no
+    separable per-call phase (dense, decode-at-load, fused kernels).
+
+    Decode phases are weight-only: the returned fn ignores the activation
+    and must be timed with perturb_rest=True so the decode cannot hoist out
+    of the timing loop (utils/devtime). LUT-build phases consume the real
+    layer input.
+    """
+    import jax.numpy as jnp
+
+    from qcnn_tpu.ops import lut as lut_ops
+
+    if not isinstance(p, dict) or "codebooks" not in p:
+        return None
+
+    if strategy in _FUSED_STRATS:
+        return ("fused", None)
+
+    def ride(val, x):
+        return jnp.sum(val.astype(jnp.float32)) + jnp.sum(
+            x.astype(jnp.float32))
+
+    if isinstance(layer, ConvSpec):
+        if strategy in ("indecode", "indecode_ohwi", "indecode_hwoi",
+                        "gdecode", "gdecode_iohw", "gemm", "memory"):
+            layout = {"indecode_ohwi": "ohwi", "indecode_hwoi": "hwoi",
+                      "gdecode_iohw": "iohw"}.get(strategy)
+
+            def decode_fn(x, pp):
+                cb, a = pp["codebooks"], pp["assignments"]
+                cg = x.shape[-1] // groups
+                if strategy.startswith("gdecode"):
+                    from qcnn_tpu.ops.pallas import (
+                        decode_conv_kernel_gather,
+                    )
+
+                    w = decode_conv_kernel_gather(
+                        cb, a, cg, **({"layout": layout} if layout else {}))
+                else:
+                    w = lut_ops.decode_conv_kernel_onehot(
+                        cb, a, cg,
+                        **({"layout": layout} if layout
+                           else {}))
+                return ride(w, x[:1, :1, :1])
+
+            return ("decode", decode_fn)
+        if strategy == "lut":
+
+            def lut_fn(x, pp):
+                cb = pp["codebooks"]
+                cin = x.shape[-1]
+                cpg = cin // groups
+                acc = jnp.float32(0.0)
+                for g in range(groups):
+                    xg = x[..., g * cpg:(g + 1) * cpg]
+                    acc = acc + jnp.sum(
+                        lut_ops.build_lut(xg, cb).astype(jnp.float32))
+                return acc
+
+            return ("lut-build", lut_fn)
+        return None
+
+    # FC strategies
+    if strategy in ("indecode", "gdecode"):
+
+        def decode_fc(x, pp):
+            cb, a = pp["codebooks"], pp["assignments"]
+            cin = 1
+            for dim in x.shape[1:]:
+                cin *= dim
+            if strategy == "gdecode":
+                from qcnn_tpu.ops.pallas import decode_fc_weight_gather
+
+                w = decode_fc_weight_gather(cb, a, cin)
+            else:
+                w = lut_ops.decode_fc_weight_onehot(cb, a, cin)
+            return ride(w, x.reshape(x.shape[0], -1)[:1, :8])
+
+        return ("decode", decode_fc)
+    if strategy in ("onehot", "gather", "lutgather"):
+
+        def lut_fc(x, pp):
+            if first_fc:
+                x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+            else:
+                x = x.reshape(x.shape[0], -1)
+            return jnp.sum(
+                lut_ops.build_lut(x, pp["codebooks"]).astype(jnp.float32))
+
+        return ("lut-build", lut_fc)
+    return None
 
 
 def profile_layers(
@@ -161,13 +278,35 @@ def profile_layers(
         fn = _layer_fn(layer, p, strategy, first_fc, compute_dtype)
         secs = time_device_fn(fn, x, k1=k1, k2=k2) - baseline(x)
         y = jax.jit(fn)(x)
+        # PQ phase split (the DispElpsTime LUT-build/gather contract): time
+        # phase 1 (decode or LUT build) as its own device program; decode
+        # phases run under perturb_rest so the weight-only computation
+        # cannot hoist out of the timing loop.
+        phase_label = phase1 = None
+        ph = _phase1_fn(layer, p, strategy, first_fc,
+                        getattr(layer, "groups", 1))
+        if ph is not None:
+            phase_label, ph_fn = ph
+            if ph_fn is not None:
+                t1 = time_device_fn(
+                    ph_fn, x, p, k1=k1, k2=k2,
+                    perturb_rest=(phase_label == "decode"),
+                ) - baseline(x)
+                phase1 = min(max(t1, 0.0), max(secs, 0.0))
         profiles.append(
-            LayerProfile(i, kind, strategy, tuple(y.shape), max(secs, 0.0))
+            LayerProfile(i, kind, strategy, tuple(y.shape), max(secs, 0.0),
+                         phase_label=phase_label, phase1_seconds=phase1)
         )
         if verbose:
+            extra = ""
+            if phase_label == "fused":
+                extra = "  [fused kernel: phases inseparable]"
+            elif phase1 is not None:
+                extra = (f"  [{phase_label} {phase1*1e6:.1f} us + "
+                         f"contract {(max(secs,0.0)-phase1)*1e6:.1f} us]")
             print(
                 f"  [{i:2d}] {kind:8s} {strategy:8s} "
-                f"{str(tuple(y.shape)):24s} {secs*1e6:10.1f} us",
+                f"{str(tuple(y.shape)):24s} {secs*1e6:10.1f} us{extra}",
                 file=sys.stderr, flush=True,
             )
         x = y
@@ -175,14 +314,22 @@ def profile_layers(
 
 
 def format_table(profiles: list[LayerProfile]) -> str:
-    """DispElpsTime-style summary: per-layer lines + per-kind totals."""
+    """DispElpsTime-style summary: per-layer lines + per-kind totals; PQ
+    layers with per-call phases get the LUT-build/decode vs gather/GEMM
+    split (CompLkupTbl / EstiInPdVal, CaffeEva.cc:297-326)."""
     lines = []
     total = sum(p.seconds for p in profiles)
     for p in profiles:
+        phase = ""
+        if p.phase_label == "fused":
+            phase = "  fused-kernel"
+        elif p.phase1_seconds is not None:
+            phase = (f"  {p.phase_label}={p.phase1_seconds*1e6:.1f}us"
+                     f" contract={p.phase2_seconds*1e6:.1f}us")
         lines.append(
             f"[{p.index:2d}] {p.kind:8s} {p.strategy:8s} "
             f"{str(p.out_shape):24s} {p.seconds*1e6:10.1f} us"
-            f" ({100*p.seconds/max(total,1e-12):5.1f}%)"
+            f" ({100*p.seconds/max(total,1e-12):5.1f}%){phase}"
         )
     by_kind: dict[str, float] = {}
     for p in profiles:

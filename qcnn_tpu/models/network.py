@@ -204,12 +204,14 @@ def forward(
                         stride=layer.stride, pad=layer.pad,
                         groups=layer.groups,
                         act_scale=p.get("act_scale"),
+                        out_scale=p.get("out_scale"),
                     )
                 else:
                     x = conv_dense(
                         x, p["kernel"], p["bias"],
                         stride=layer.stride, pad=layer.pad,
                         groups=layer.groups,
+                        out_dtype=compute_dtype,
                     )
             else:
                 x = pq_conv(
@@ -217,7 +219,7 @@ def forward(
                     stride=layer.stride, pad=layer.pad, groups=layer.groups,
                     impl=conv_strat[i],
                 )
-            if compute_dtype is not None:
+            if compute_dtype is not None and x.dtype != jnp.int8:
                 x = x.astype(compute_dtype)
         elif isinstance(layer, PoolSpec):
             x = caffe_max_pool(
@@ -238,18 +240,24 @@ def forward(
                     x = fc_dense_int8(
                         x, p["weight_q"], p["scale"], p["bias"],
                         act_scale=p.get("act_scale"),
+                        out_scale=p.get("out_scale"),
                     )
                 else:
-                    x = fc_dense(x, p["weight"], p["bias"])
+                    x = fc_dense(x, p["weight"], p["bias"],
+                                 out_dtype=compute_dtype)
             else:
                 x = pq_fc(x, p, impl=fc_strat[i])
-            if compute_dtype is not None:
+            if compute_dtype is not None and x.dtype != jnp.int8:
                 x = x.astype(compute_dtype)
         elif isinstance(layer, ReLUSpec):
             x = relu(x)
         elif isinstance(layer, LRNSpec):
+            # sum_dtype=compute_dtype: bf16 runs materialize the band
+            # window-sum in bf16 (halves LRN's binding HBM stream); f32/None
+            # are unchanged-exact (ops/misc.lrn)
             x = lrn(x, size=layer.size, alpha=layer.alpha, beta=layer.beta,
-                    k=layer.k, channel_map=layer.channel_map)
+                    k=layer.k, channel_map=layer.channel_map,
+                    sum_dtype=compute_dtype)
         elif isinstance(layer, DropoutSpec):
             x = dropout_inference(x)
         elif isinstance(layer, SoftmaxSpec):

@@ -31,7 +31,15 @@ import jax.numpy as jnp
 import ml_dtypes
 import numpy as np
 
-from qcnn_tpu.core import ConvSpec, FCSpec, ModelSpec, is_pq
+from qcnn_tpu.core import (
+    ConvSpec,
+    DropoutSpec,
+    FCSpec,
+    ModelSpec,
+    PoolSpec,
+    ReLUSpec,
+    is_pq,
+)
 from qcnn_tpu.models import network
 
 # Preparation runs on the HOST in NumPy: on the remote-TPU tunnel, eager
@@ -84,6 +92,59 @@ def _decode_conv_kernel_np(codebooks, assignments, cg):
     return np.transpose(w, (1, 2, 3, 0))  # HWIO
 
 
+def int8_out_scales(
+    spec: ModelSpec,
+    params: Sequence[Optional[dict]],
+    conv_strat: tuple,
+    fc_strat: tuple,
+    act_scales: Optional[dict],
+) -> dict[int, float]:
+    """The int8-native dataflow plan: {producer layer index: out_scale}.
+
+    ReLU and max-pool commute with symmetric per-tensor quantization
+    (monotone, q(0) == 0) and inference dropout/flatten are identity, so a
+    conv/FC whose path to the NEXT conv/FC crosses only those layers can
+    emit int8 codes directly in the consumer's calibrated input scale —
+    eliminating the consumer's activation-quantize pass and halving the
+    boundary activation traffic (the passes KERNEL_STUDIES §6/§6b measured
+    as int8's batch-256 regression vs bf16). LRN breaks the chain (it does
+    not commute: the reference's own uint8 pipeline dequantizes around it,
+    CaffeEva.cc:848-861 operates per-layer on uint8 codes the same way).
+
+    Both endpoints must execute as int8-dense ('dense' or decode-to-dense
+    strategy, so prepare will quantize their weights) and the consumer must
+    have a calibrated static scale.
+    """
+    if act_scales is None:
+        return {}
+
+    def int8_dense_at(j: int) -> bool:
+        layer, p = spec.layers[j], params[j]
+        if p is None:
+            return False
+        strat = conv_strat[j] if isinstance(layer, ConvSpec) else fc_strat[j]
+        return strat in ("dense", "decode")
+
+    plan: dict[int, float] = {}
+    for i, layer in enumerate(spec.layers):
+        if not isinstance(layer, (ConvSpec, FCSpec)) or not int8_dense_at(i):
+            continue
+        j = i + 1
+        commutes = True
+        while j < len(spec.layers) and not isinstance(
+            spec.layers[j], (ConvSpec, FCSpec)
+        ):
+            if not isinstance(spec.layers[j],
+                              (ReLUSpec, PoolSpec, DropoutSpec)):
+                commutes = False
+                break
+            j += 1
+        if (commutes and j < len(spec.layers) and j in act_scales
+                and int8_dense_at(j)):
+            plan[i] = act_scales[j]
+    return plan
+
+
 def prepare_params(
     spec: ModelSpec,
     params: Sequence[Optional[dict]],
@@ -108,10 +169,16 @@ def prepare_params(
         spec, params, batch_hint, conv_impl, fc_impl,
         dtype=(jnp.bfloat16 if _is_int8(dtype) else dtype),
     )
+    out_scales = (
+        int8_out_scales(spec, params, conv_strat, fc_strat, act_scales)
+        if _is_int8(dtype) else {}
+    )
 
     def with_act_scale(d: dict, i: int) -> dict:
         if act_scales is not None and i in act_scales:
             d["act_scale"] = np.float32(act_scales[i])
+        if i in out_scales:
+            d["out_scale"] = np.float32(out_scales[i])
         return d
 
     out: list = []

@@ -78,11 +78,21 @@ def conv_dense(
     groups: int = 1,
     space_to_depth: bool = False,
     kernel_layout: str = "HWIO",
+    out_dtype=None,
 ) -> jax.Array:
     """x: (B,H,W,Cin), kernel: (kh,kw,Cin/groups,Cout) -> (B,Ho,Wo,Cout).
 
     Computes in the kernel's dtype (bf16 kernels -> bf16 MXU passes) with
     float32 accumulation; output is float32 + bias.
+
+    out_dtype: when set (network.forward passes its compute_dtype), the
+    conv EMITS that dtype and the bias adds in it. TPU convolutions cannot
+    fuse output epilogues, so the f32 conv result is otherwise a
+    materialized HBM tensor that a separate convert pass re-reads — the
+    round-4 headline HLO showed 1.16 GB of f32 conv outputs per step
+    (tools/headline_attr.py). The MXU still accumulates in f32 internally;
+    the only numerics change is rounding to bf16 before (instead of after)
+    the bias add.
 
     kernel_layout: any permutation of HWIO — XLA consumes arbitrary kernel
     orders natively, so in-step decoders can hand over their decode-native
@@ -119,10 +129,12 @@ def conv_dense(
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", kernel_layout, "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=(out_dtype or jnp.float32),
     )
     if out_hw is not None:
         out = out[:, : out_hw[0], : out_hw[1]]
+    if out_dtype is not None:
+        bias = bias.astype(out_dtype)
     return out + bias
 
 
@@ -136,11 +148,13 @@ def conv_dense_int8(
     pad: int,
     groups: int = 1,
     act_scale: jax.Array | None = None,
+    out_scale: jax.Array | None = None,
 ) -> jax.Array:
     """int8 conv: kernel_q (kh,kw,Cg,Cout) int8, per-Cout scales; activation
     quantization dynamic or via a static calibrated scale (see ops/fc.py
-    fc_dense_int8)."""
-    from qcnn_tpu.ops.fc import quantize_activations_int8
+    fc_dense_int8). out_scale: emit int8 codes in the consumer's calibrated
+    scale (ops/fc.requantize_int8 — the int8-native dataflow)."""
+    from qcnn_tpu.ops.fc import quantize_activations_int8, requantize_int8
 
     xq, x_scale = quantize_activations_int8(x, act_scale)
     acc = lax.conv_general_dilated(
@@ -152,6 +166,8 @@ def conv_dense_int8(
         feature_group_count=groups,
         preferred_element_type=jnp.int32,
     )
+    if out_scale is not None:
+        return requantize_int8(acc, x_scale, k_scale, bias, out_scale)
     return acc.astype(jnp.float32) * (x_scale * k_scale) + bias
 
 

@@ -13,12 +13,21 @@ import jax.numpy as jnp
 from qcnn_tpu.ops import lut as lut_ops
 
 
-def fc_dense(x: jax.Array, weight: jax.Array, bias: jax.Array) -> jax.Array:
+def fc_dense(x: jax.Array, weight: jax.Array, bias: jax.Array,
+             out_dtype=None) -> jax.Array:
     """x: (B, Cin), weight: (Cin, Cout) -> (B, Cout). Computes in the
-    weight's dtype with float32 accumulation."""
+    weight's dtype with float32 accumulation.
+
+    out_dtype: emit this dtype from the GEMM and add the bias in it (same
+    rationale as ops/conv.conv_dense — dots CAN fuse converts, but emitting
+    the final dtype avoids the f32 round-trip when the consumer is bf16)."""
     if x.dtype != weight.dtype:
         x = x.astype(weight.dtype)
-    return jnp.dot(x, weight, preferred_element_type=jnp.float32) + bias
+    out = jnp.dot(x, weight, preferred_element_type=(out_dtype or
+                                                     jnp.float32))
+    if out_dtype is not None:
+        bias = bias.astype(out_dtype)
+    return out + bias
 
 
 def quantize_activations_int8(
@@ -31,7 +40,22 @@ def quantize_activations_int8(
     models/calibrate.py) the amax reduction disappears entirely — the
     dynamic variant re-reads the whole activation tensor for the amax
     before quantizing, which measurably regressed int8 below bf16 at batch
-    256 in round 1 (docs/KERNEL_STUDIES.md §6)."""
+    256 in round 1 (docs/KERNEL_STUDIES.md §6).
+
+    int8 INPUT passthrough (the int8-native dataflow): when the producer
+    layer already emitted int8 codes in this layer's calibrated scale (the
+    ``out_scale`` requantize epilogue below), there is nothing to quantize
+    — the codes ride straight into the int8 MXU op with the static scale.
+    """
+    if x.dtype == jnp.int8:
+        if act_scale is None:
+            raise ValueError(
+                "int8-domain activations need a static act_scale (the "
+                "producer's out_scale) — dynamic amax cannot recover the "
+                "quantization grid from codes"
+            )
+        return x, jnp.maximum(jnp.asarray(act_scale, jnp.float32),
+                              1e-12 / 127.0)
     xf = x.astype(jnp.float32)
     if act_scale is None:
         amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12)
@@ -46,24 +70,53 @@ def quantize_activations_int8(
     return xq, scale
 
 
+def requantize_int8(
+    acc: jax.Array,
+    x_scale: jax.Array,
+    w_scale: jax.Array,
+    bias: jax.Array,
+    out_scale: jax.Array,
+) -> jax.Array:
+    """Fold dequantize + next-layer quantize into one epilogue:
+    q_out = clip(round((acc*s_x*s_w + bias) / s_out)). Exactly the value the
+    old float round-trip would re-quantize — ReLU and max-pool commute with
+    symmetric per-tensor quantization (monotone, q(0)=0), so downstream
+    relu/pool run directly on the int8 codes and the consumer layer skips
+    its activation-quantize pass entirely (the pass §6b measured as the
+    int8-vs-bf16 throughput gap)."""
+    out_scale = jnp.maximum(jnp.asarray(out_scale, jnp.float32),
+                            1e-12 / 127.0)
+    m = (x_scale * w_scale) / out_scale
+    y = acc.astype(jnp.float32) * m + bias / out_scale
+    return jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+
+
 def fc_dense_int8(
     x: jax.Array,
     weight_q: jax.Array,
     w_scale: jax.Array,
     bias: jax.Array,
     act_scale: jax.Array | None = None,
+    out_scale: jax.Array | None = None,
 ) -> jax.Array:
     """int8 GEMM: weight_q (Cin, Cout) int8 with per-output-channel scales
     (models/prepare.py int8 mode); activations quantized on the fly (or via
     a static calibrated scale). The MXU runs int8 at ~1.6x its bf16 rate on
     the attached chip (269 TOP/s measured) and the weight HBM stream halves
-    vs bf16."""
+    vs bf16.
+
+    out_scale: emit int8 codes in the CONSUMER's calibrated input scale
+    (requantize_int8) instead of dequantized floats — the int8-native
+    dataflow (prepare_params plants it wherever the path to the next
+    conv/FC only crosses relu/pool/dropout/flatten)."""
     xq, x_scale = quantize_activations_int8(x, act_scale)
     acc = jax.lax.dot_general(
         xq, weight_q,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
+    if out_scale is not None:
+        return requantize_int8(acc, x_scale, w_scale, bias, out_scale)
     return acc.astype(jnp.float32) * (x_scale * w_scale) + bias
 
 

@@ -40,9 +40,17 @@ def caffe_max_pool(
         ow = (w + 2 * pad - kernel) // stride + 1
     pad_h_hi = max(0, (oh - 1) * stride + kernel - h - pad)
     pad_w_hi = max(0, (ow - 1) * stride + kernel - w - pad)
+    # int8 activations (the int8-native dataflow, ops/fc.py requantize
+    # epilogue) max-pool in the quantized domain: monotone per-tensor
+    # quantization commutes with max, so pooling int8 codes IS pooling the
+    # dequantized values. Identity for integer max is the dtype minimum.
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        init = jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype)
+    else:
+        init = jnp.asarray(-jnp.inf, x.dtype)
     return lax.reduce_window(
         x,
-        jnp.asarray(-jnp.inf, x.dtype),
+        init,
         lax.max,
         window_dimensions=(1, kernel, kernel, 1),
         window_strides=(1, stride, stride, 1),
@@ -52,7 +60,7 @@ def caffe_max_pool(
 
 def lrn(
     x: jax.Array, *, size: int, alpha: float, beta: float, k: float,
-    impl: str = "auto", channel_map=None,
+    impl: str = "auto", channel_map=None, sum_dtype=None,
 ) -> jax.Array:
     """Across-channel local response normalization (CalcFeatMap_LoRN,
     CaffeEva.cc:1038-1089):
@@ -70,6 +78,15 @@ def lrn(
     channel_map: lane-padded channel layout (models/lanepad.py; -1 =
     padding). The window adjacency follows the ORIGINAL indices, expressed
     in the band matrix — same matmul cost, any layout. Forces 'band'.
+
+    sum_dtype: dtype the band matmul MATERIALIZES its window-sum in
+    (default f32 — exact, bit-identical to the jnp path). bf16 halves the
+    binding HBM stream of the band path (the f32 window-sum tensor is the
+    largest intermediate in the AlexNet block-1 HLO — 297 MB at conv1
+    shape, tools/headline_attr.py round 4); the scale/rsqrt/mul epilogue
+    still computes in f32 in-register, so the only rounding is the one
+    bf16 quantization of the window sum. network.forward passes its
+    compute_dtype here.
     """
     if channel_map is not None:
         m = jnp.asarray(channel_map, jnp.int32)
@@ -90,9 +107,10 @@ def lrn(
             ).astype(x.dtype)
         sq = x * x
         sq_sum = jnp.einsum(
-            "...c,cd->...d", sq, band, preferred_element_type=jnp.float32
+            "...c,cd->...d", sq, band,
+            preferred_element_type=(sum_dtype or jnp.float32),
         )
-        scale = k + (alpha / size) * sq_sum
+        scale = k + (alpha / size) * sq_sum.astype(jnp.float32)
         return (x.astype(jnp.float32) * _neg_pow(scale, beta)).astype(x.dtype)
     radius = (size - 1) // 2
     xf = x.astype(jnp.float32)
@@ -126,7 +144,11 @@ def _neg_pow(scale: jax.Array, beta: float) -> jax.Array:
 
 
 def relu(x: jax.Array) -> jax.Array:
-    return jnp.maximum(x, 0.0)
+    # dtype-preserving zero: int8-domain activations (the requantize
+    # epilogue path) ReLU as max(q, 0) — exact, since symmetric quantization
+    # is monotone with q(0) == 0; a float 0.0 literal would promote int8
+    # back to float and defeat the int8-native dataflow.
+    return jnp.maximum(x, jnp.asarray(0, x.dtype))
 
 
 def softmax(x: jax.Array, axis: int = -1) -> jax.Array:

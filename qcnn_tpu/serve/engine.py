@@ -325,9 +325,16 @@ class BatchingEngine:
                 continue
             return item
 
-    def _dispatch_loop(self) -> None:
+    def _to_device(self, images: np.ndarray):
+        """Host batch -> device array (the upload). A seam for harnesses
+        that model device-local serving (tools/engine_inproc_bench.py):
+        on tunneled rigs the upload dominates every in-process measurement,
+        so the bench overrides this to isolate the engine machinery."""
         import jax.numpy as jnp
 
+        return jnp.asarray(images)
+
+    def _dispatch_loop(self) -> None:
         cfg = self.config
         while not self._stop.is_set():
             try:
@@ -369,7 +376,8 @@ class BatchingEngine:
                 images = np.concatenate([images, pad])
             t_dispatch = time.perf_counter()
             try:
-                probs = np.asarray(self._fwd(self.params, jnp.asarray(images)))
+                probs = np.asarray(
+                    self._fwd(self.params, self._to_device(images)))
                 for i, fut in enumerate(futures):
                     fut.set_result(probs[i])
             except Exception as e:  # noqa: BLE001 - propagate to callers
