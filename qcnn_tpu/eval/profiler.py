@@ -80,7 +80,8 @@ def _layer_fn(layer, p, strategy, first_fc, compute_dtype):
                                    out_dtype=compute_dtype)
             else:
                 y = pq_conv(x, p, stride=layer.stride, pad=layer.pad,
-                            groups=layer.groups, impl=strategy)
+                            groups=layer.groups, impl=strategy,
+                            out_dtype=compute_dtype)
         elif isinstance(layer, FCSpec):
             if first_fc:
                 x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
@@ -99,7 +100,7 @@ def _layer_fn(layer, p, strategy, first_fc, compute_dtype):
                     y = fc_dense(x, p["weight"], p["bias"],
                                  out_dtype=compute_dtype)
             else:
-                y = pq_fc(x, p, impl=strategy)
+                y = pq_fc(x, p, impl=strategy, out_dtype=compute_dtype)
         elif isinstance(layer, PoolSpec):
             y = caffe_max_pool(x, kernel=layer.kernel, stride=layer.stride,
                                pad=layer.pad)

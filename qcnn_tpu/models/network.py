@@ -217,7 +217,7 @@ def forward(
                 x = pq_conv(
                     x, p,
                     stride=layer.stride, pad=layer.pad, groups=layer.groups,
-                    impl=conv_strat[i],
+                    impl=conv_strat[i], out_dtype=compute_dtype,
                 )
             if compute_dtype is not None and x.dtype != jnp.int8:
                 x = x.astype(compute_dtype)
@@ -246,7 +246,7 @@ def forward(
                     x = fc_dense(x, p["weight"], p["bias"],
                                  out_dtype=compute_dtype)
             else:
-                x = pq_fc(x, p, impl=fc_strat[i])
+                x = pq_fc(x, p, impl=fc_strat[i], out_dtype=compute_dtype)
             if compute_dtype is not None and x.dtype != jnp.int8:
                 x = x.astype(compute_dtype)
         elif isinstance(layer, ReLUSpec):

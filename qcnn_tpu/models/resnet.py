@@ -119,58 +119,69 @@ def init_dense_params(spec: ResNetSpec, seed: int = 0) -> dict:
 # Forward
 # ---------------------------------------------------------------------------
 
-def _apply_conv(x, p, *, stride=1, pad=0):
+def _apply_conv(x, p, *, stride=1, pad=0, out_dtype=None):
+    """out_dtype: emit the compute dtype straight from the conv/epilogue —
+    TPU convolutions cannot fuse output converts, so an f32 conv output is
+    a materialized HBM tensor re-read by a separate pass (measured on the
+    AlexNet headline, tools/headline_attr.py; same physics here)."""
     if "codebooks" in p:
         # in-graph PQ decode formulation: models/common.py MEMORY_IMPL
         return conv_ops.pq_conv(x, p, stride=stride, pad=pad,
-                                impl=common.MEMORY_IMPL)
+                                impl=common.MEMORY_IMPL,
+                                out_dtype=out_dtype)
     if "kernel_q" in p:
         return conv_ops.conv_dense_int8(
             x, p["kernel_q"], p["scale"], p["bias"],
             stride=stride, pad=pad, act_scale=p.get("act_scale"),
         )
     return conv_ops.conv_dense(x, p["kernel"], p["bias"],
-                               stride=stride, pad=pad)
+                               stride=stride, pad=pad, out_dtype=out_dtype)
 
 
-def _apply_fc(x, p):
+def _apply_fc(x, p, out_dtype=None):
     if "codebooks" in p:
         # models/common.py MEMORY_FC_IMPL (per-batch measured rule)
         return fc_ops.pq_fc(x, p, impl=common.fc_memory_impl(
-            x.shape[0], p, x.dtype))
+            x.shape[0], p, x.dtype), out_dtype=out_dtype)
     if "weight_q" in p:
         return fc_ops.fc_dense_int8(
             x, p["weight_q"], p["scale"], p["bias"],
             act_scale=p.get("act_scale"),
         )
-    return fc_ops.fc_dense(x, p["weight"], p["bias"])
+    return fc_ops.fc_dense(x, p["weight"], p["bias"], out_dtype=out_dtype)
 
 
 def _make_cast(compute_dtype):
     def cast(v):
         return v.astype(compute_dtype) if compute_dtype is not None else v
+    cast.dtype = compute_dtype  # the conv-emit dtype (_apply_conv out_dtype)
     return cast
 
 
 def _run_block(x, block, stride: int, bottleneck: bool, cast):
     """One residual block (shared by forward and forward_segments)."""
+    od = getattr(cast, "dtype", None)
     shortcut = x
     if "proj" in block:
-        shortcut = cast(_apply_conv(x, block["proj"], stride=stride))
+        shortcut = cast(_apply_conv(x, block["proj"], stride=stride,
+                                    out_dtype=od))
     if bottleneck:
-        y = cast(relu(_apply_conv(x, block["conv1"])))
-        y = cast(relu(_apply_conv(y, block["conv2"], stride=stride, pad=1)))
-        y = cast(_apply_conv(y, block["conv3"]))
+        y = cast(relu(_apply_conv(x, block["conv1"], out_dtype=od)))
+        y = cast(relu(_apply_conv(y, block["conv2"], stride=stride, pad=1,
+                                  out_dtype=od)))
+        y = cast(_apply_conv(y, block["conv3"], out_dtype=od))
     else:
-        y = cast(relu(_apply_conv(x, block["conv1"], stride=stride, pad=1)))
-        y = cast(_apply_conv(y, block["conv2"], pad=1))
+        y = cast(relu(_apply_conv(x, block["conv1"], stride=stride, pad=1,
+                                  out_dtype=od)))
+        y = cast(_apply_conv(y, block["conv2"], pad=1, out_dtype=od))
     return relu(y + shortcut)
 
 
 def _run_stem(x, params, cast):
     from qcnn_tpu.ops.misc import caffe_max_pool
 
-    x = cast(relu(_apply_conv(x, params["stem"], stride=2, pad=3)))
+    x = cast(relu(_apply_conv(x, params["stem"], stride=2, pad=3,
+                              out_dtype=getattr(cast, "dtype", None))))
     # floor-mode (torch/canonical) pool: 112 -> 56, matching torchvision so
     # pretrained weights import 1:1 (ceil mode would give 57)
     return caffe_max_pool(x, kernel=3, stride=2, pad=1, ceil_mode=False)

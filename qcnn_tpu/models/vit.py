@@ -154,22 +154,30 @@ def _masked_attention(q, k, v, n_pad: int, logits_dtype=jnp.float32):
     )
 
 
-def _proj(x, p):
-    """(…, Cin) @ gemm -> (…, Cout), PQ or dense."""
+def _proj(x, p, out_dtype=None):
+    """(…, Cin) @ gemm -> (…, Cout), PQ or dense.
+
+    out_dtype: emit the compute dtype straight from the GEMM — otherwise
+    every projection materializes an f32 tensor (qkv at B=64 is 116 MB)
+    that a separate convert pass re-reads (tools/headline_attr.py physics;
+    q/k/v previously even FLOWED f32 into the attention einsums because no
+    cast sat between the qkv projection and the split)."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     if "codebooks" in p:
         # in-graph PQ FC formulation: models/common.py MEMORY_FC_IMPL
         # (per-batch rule — ViT projections see B*tokens rows)
         y = fc_ops.pq_fc(x2, p, impl=common.fc_memory_impl(
-            x2.shape[0], p, x2.dtype))
+            x2.shape[0], p, x2.dtype), out_dtype=out_dtype)
     elif "weight_q" in p:
         y = fc_ops.fc_dense_int8(
             x2, p["weight_q"], p["scale"], p["bias"],
             act_scale=p.get("act_scale"),
         )
     else:
-        y = fc_ops.fc_dense(x2, p["weight"], p["bias"])
+        y = fc_ops.fc_dense(x2, p["weight"], p["bias"], out_dtype=out_dtype)
+    if out_dtype is not None and y.dtype != out_dtype:
+        y = y.astype(out_dtype)  # int8/Pallas branches fix their dtype
     return y.reshape(*lead, y.shape[-1])
 
 
@@ -206,6 +214,7 @@ def forward(
 def _make_cast(compute_dtype):
     def cast(v):
         return v.astype(compute_dtype) if compute_dtype is not None else v
+    cast.dtype = compute_dtype  # the GEMM-emit dtype (_proj out_dtype)
     return cast
 
 
@@ -215,7 +224,8 @@ def _run_embed(x, params, spec, cast):
     # patchify: (B, H/p, p, W/p, p, C) -> (B, N, p*p*C)
     x = x.reshape(b, h // p, p, w // p, p, c)
     x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, spec.num_patches, -1)
-    x = cast(_proj(x, params["patch_embed"]))
+    x = cast(_proj(x, params["patch_embed"],
+                   out_dtype=getattr(cast, "dtype", None)))
     cls = jnp.broadcast_to(
         params["cls_token"].astype(x.dtype), (b, 1, spec.dim)
     )
@@ -234,21 +244,23 @@ def _run_block(x, blk, spec, cast, attn_logits_dtype):
     b = x.shape[0]
     nh = spec.heads
     hd = spec.dim // nh
+    od = getattr(cast, "dtype", None)
     y = _layernorm(x, blk["ln1"])
-    qkv = _proj(y, blk["qkv"])  # (B, N, 3D)
+    qkv = _proj(y, blk["qkv"], out_dtype=od)  # (B, N, 3D)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(b, -1, nh, hd)
     k = k.reshape(b, -1, nh, hd)
     v = v.reshape(b, -1, nh, hd)
     o = _masked_attention(q, k, v, 0, attn_logits_dtype)
     o = cast(o.reshape(b, -1, spec.dim))
-    x = x + cast(_proj(o, blk["out"]))
+    x = x + cast(_proj(o, blk["out"], out_dtype=od))
     y = _layernorm(x, blk["ln2"])
     # exact (erf) GELU, matching timm/torch semantics so imported
     # pretrained weights reproduce 1:1 (jax.nn.gelu defaults to the tanh
     # approximation); elementwise-bandwidth-bound either way
-    y = cast(jax.nn.gelu(_proj(y, blk["mlp1"]), approximate=False))
-    return x + cast(_proj(y, blk["mlp2"]))
+    y = cast(jax.nn.gelu(_proj(y, blk["mlp1"], out_dtype=od),
+                         approximate=False))
+    return x + cast(_proj(y, blk["mlp2"], out_dtype=od))
 
 
 def _run_head(x, params, with_softmax: bool):

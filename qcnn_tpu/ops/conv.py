@@ -173,7 +173,7 @@ def conv_dense_int8(
 
 def pq_conv_decode(
     x: jax.Array, params: dict, *, stride: int, pad: int, groups: int = 1,
-    via: str = "gather",
+    via: str = "gather", out_dtype=None,
 ) -> jax.Array:
     """PQ conv via on-the-fly kernel decode + MXU conv.
 
@@ -217,7 +217,7 @@ def pq_conv_decode(
     )
     return conv_dense(
         x, kernel, params["bias"], stride=stride, pad=pad, groups=groups,
-        kernel_layout=kernel_layout,
+        kernel_layout=kernel_layout, out_dtype=out_dtype,
     )
 
 
@@ -242,7 +242,7 @@ def _gemm_wins(x_shape, cout: int, kh: int, kw: int, groups: int,
 
 def pq_conv_gemm(
     x: jax.Array, params: dict, *, stride: int, pad: int, groups: int = 1,
-    via: str = "gather",
+    via: str = "gather", out_dtype=None,
 ) -> jax.Array:
     """In-step decode + im2col GEMM (memory mode, KERNEL_STUDIES §9f).
 
@@ -288,13 +288,17 @@ def pq_conv_gemm(
     out = lax.dot_general(
         patches.reshape(b * ho * wo, f).astype(w2.dtype), w2,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=(out_dtype or jnp.float32),
     )
-    return out.reshape(b, ho, wo, cout) + params["bias"]
+    bias = params["bias"]
+    if out_dtype is not None:
+        bias = bias.astype(out_dtype)
+    return out.reshape(b, ho, wo, cout) + bias
 
 
 def pq_conv_lut(
-    x: jax.Array, params: dict, *, stride: int, pad: int, groups: int = 1
+    x: jax.Array, params: dict, *, stride: int, pad: int, groups: int = 1,
+    out_dtype=None,
 ) -> jax.Array:
     """PQ conv as LUT build + one-hot conv over LUT channels.
 
@@ -331,9 +335,12 @@ def pq_conv_lut(
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=_DN,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=(out_dtype or jnp.float32),
     )
-    return out + params["bias"]
+    bias = params["bias"]
+    if out_dtype is not None:
+        bias = bias.astype(out_dtype)
+    return out + bias
 
 
 def pq_conv(
@@ -344,6 +351,7 @@ def pq_conv(
     pad: int,
     groups: int = 1,
     impl: str = "decode",
+    out_dtype=None,
 ) -> jax.Array:
     if "perm" in params:
         # OPQ channel permutation (quantizer/opq.py): codebooks are shared
@@ -358,17 +366,20 @@ def pq_conv(
             )
         x = jnp.take(x, perm, axis=-1)
     if impl == "decode":
-        return pq_conv_decode(x, params, stride=stride, pad=pad, groups=groups)
+        return pq_conv_decode(x, params, stride=stride, pad=pad,
+                              groups=groups, out_dtype=out_dtype)
     if impl == "indecode":
         # in-step decode: compressed weights resident in HBM, dense kernel
         # is a per-layer transient (one-hot MXU decode)
         return pq_conv_decode(
-            x, params, stride=stride, pad=pad, groups=groups, via="onehot"
+            x, params, stride=stride, pad=pad, groups=groups, via="onehot",
+            out_dtype=out_dtype,
         )
     if impl == "gdecode":
         # in-step decode via the Pallas dynamic-gather kernel
         return pq_conv_decode(
-            x, params, stride=stride, pad=pad, groups=groups, via="gdecode"
+            x, params, stride=stride, pad=pad, groups=groups, via="gdecode",
+            out_dtype=out_dtype,
         )
     if impl in ("indecode_ohwi", "indecode_hwoi", "gdecode_iohw"):
         # layout-preserving in-step decodes: the conv consumes the decode's
@@ -377,7 +388,8 @@ def pq_conv(
                "indecode_hwoi": "onehot_hwoi",
                "gdecode_iohw": "gdecode_iohw"}[impl]
         return pq_conv_decode(
-            x, params, stride=stride, pad=pad, groups=groups, via=via
+            x, params, stride=stride, pad=pad, groups=groups, via=via,
+            out_dtype=out_dtype,
         )
     if impl in ("gemm", "memory"):
         s, k, d = params["codebooks"].shape
@@ -386,12 +398,14 @@ def pq_conv(
                                         stride, pad):
             via = "gather" if k <= 128 else "onehot"
             return pq_conv_gemm(
-                x, params, stride=stride, pad=pad, groups=groups, via=via
+                x, params, stride=stride, pad=pad, groups=groups, via=via,
+                out_dtype=out_dtype,
             )
         return pq_conv_decode(
             x, params, stride=stride, pad=pad, groups=groups,
-            via="onehot_ohwi",
+            via="onehot_ohwi", out_dtype=out_dtype,
         )
     if impl == "lut":
-        return pq_conv_lut(x, params, stride=stride, pad=pad, groups=groups)
+        return pq_conv_lut(x, params, stride=stride, pad=pad, groups=groups,
+                           out_dtype=out_dtype)
     raise ValueError(f"unknown pq_conv impl: {impl}")

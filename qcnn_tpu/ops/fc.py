@@ -120,7 +120,7 @@ def fc_dense_int8(
     return acc.astype(jnp.float32) * (x_scale * w_scale) + bias
 
 
-def pq_fc_onehot(x: jax.Array, params: dict) -> jax.Array:
+def pq_fc_onehot(x: jax.Array, params: dict, out_dtype=None) -> jax.Array:
     """PQ FC via LUT + one-hot matmul (MXU-friendly gather-accumulate)."""
     codebooks = params["codebooks"]
     assignments = params["assignments"]  # (Cout, S)
@@ -128,9 +128,13 @@ def pq_fc_onehot(x: jax.Array, params: dict) -> jax.Array:
     lut = lut_ops.build_lut(x, codebooks)  # (B, S, K)
     onehot = lut_ops.assignments_one_hot(assignments.T, k)  # (S, Cout, K)
     out = jnp.einsum(
-        "bsk,sok->bo", lut, onehot, preferred_element_type=jnp.float32
+        "bsk,sok->bo", lut, onehot,
+        preferred_element_type=(out_dtype or jnp.float32),
     )
-    return out + params["bias"]
+    bias = params["bias"]
+    if out_dtype is not None:
+        bias = bias.astype(out_dtype)
+    return out + bias
 
 
 def pq_fc_gather(x: jax.Array, params: dict) -> jax.Array:
@@ -149,16 +153,16 @@ def pq_fc_gather(x: jax.Array, params: dict) -> jax.Array:
     return jax.vmap(per_example)(lut) + params["bias"]
 
 
-def pq_fc_decode(x: jax.Array, params: dict) -> jax.Array:
+def pq_fc_decode(x: jax.Array, params: dict, out_dtype=None) -> jax.Array:
     """PQ FC via decode-to-dense + MXU GEMM. Mathematically identical to the
     LUT path; fastest when weight HBM traffic amortizes over a large batch."""
     w = lut_ops.decode_fc_weight(
         params["codebooks"], params["assignments"], x.shape[-1]
     )
-    return fc_dense(x, w, params["bias"])
+    return fc_dense(x, w, params["bias"], out_dtype=out_dtype)
 
 
-def pq_fc_indecode(x: jax.Array, params: dict) -> jax.Array:
+def pq_fc_indecode(x: jax.Array, params: dict, out_dtype=None) -> jax.Array:
     """Memory-mode PQ FC: decode the dense weight INSIDE the step (one-hot
     matmul decode — the gather lowering measures 29-81 ms/geometry on TPU,
     KERNEL_STUDIES §9b) then run the dense GEMM. Compressed params are the
@@ -166,10 +170,10 @@ def pq_fc_indecode(x: jax.Array, params: dict) -> jax.Array:
     w = lut_ops.decode_fc_weight_onehot(
         params["codebooks"], params["assignments"], x.shape[-1]
     )
-    return fc_dense(x, w, params["bias"])
+    return fc_dense(x, w, params["bias"], out_dtype=out_dtype)
 
 
-def pq_fc_gdecode(x: jax.Array, params: dict) -> jax.Array:
+def pq_fc_gdecode(x: jax.Array, params: dict, out_dtype=None) -> jax.Array:
     """Memory-mode PQ FC: in-step decode via the Pallas dynamic-gather
     kernel (ops/pallas/pq_decode.py) then the dense GEMM — ~1 VPU op per
     decoded weight element vs the one-hot decode's K/D-fold MXU MACs."""
@@ -178,10 +182,14 @@ def pq_fc_gdecode(x: jax.Array, params: dict) -> jax.Array:
     w = decode_fc_weight_gather(
         params["codebooks"], params["assignments"], x.shape[-1]
     )
-    return fc_dense(x, w, params["bias"])
+    return fc_dense(x, w, params["bias"], out_dtype=out_dtype)
 
 
-def pq_fc(x: jax.Array, params: dict, impl: str = "onehot") -> jax.Array:
+def pq_fc(x: jax.Array, params: dict, impl: str = "onehot",
+          out_dtype=None) -> jax.Array:
+    """out_dtype: emit this dtype from the final contraction (same
+    materialization rationale as fc_dense; Pallas/gather impls keep their
+    fixed output dtypes and the caller casts)."""
     if "perm" in params:
         # OPQ input permutation (quantizer/opq.py): sub-spaces were fit on
         # w[:, perm], so every in-graph formulation consumes x[..., perm].
@@ -189,15 +197,15 @@ def pq_fc(x: jax.Array, params: dict, impl: str = "onehot") -> jax.Array:
         # permutation into the dense weight).
         x = jnp.take(x, jnp.asarray(params["perm"]), axis=-1)
     if impl == "onehot":
-        return pq_fc_onehot(x, params)
+        return pq_fc_onehot(x, params, out_dtype=out_dtype)
     if impl == "gather":
         return pq_fc_gather(x, params)
     if impl == "decode":
-        return pq_fc_decode(x, params)
+        return pq_fc_decode(x, params, out_dtype=out_dtype)
     if impl == "indecode":
-        return pq_fc_indecode(x, params)
+        return pq_fc_indecode(x, params, out_dtype=out_dtype)
     if impl == "gdecode":
-        return pq_fc_gdecode(x, params)
+        return pq_fc_gdecode(x, params, out_dtype=out_dtype)
     if impl == "pallas":
         from qcnn_tpu.ops.pallas import pq_fc_pallas
 

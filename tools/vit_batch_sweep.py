@@ -47,16 +47,19 @@ def main() -> int:
     )
     rng = np.random.default_rng(1)
     print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
-    print(f"{args.model} bf16: batch  ms/step  img/s")
+    print(f"{args.model} bf16: batch  ms/step  img/s  "
+          "(bf16 input, harness-baseline-subtracted — bench.py methodology)")
     for b in args.batch:
-        x = rng.standard_normal((b, size, size, 3)).astype(np.float32)
+        x = jnp.asarray(
+            rng.standard_normal((b, size, size, 3)), jnp.bfloat16)
 
         def step(x, params):
             return fam.forward(
                 params, x, spec=spec, compute_dtype=jnp.bfloat16
             )
 
-        t = time_device_fn(step, x, prepared)
+        base = time_device_fn(lambda v, *_: v, x, k1=2, k2=10, reps=3)
+        t = max(time_device_fn(step, x, prepared) - base, 1e-9)
         print(f"{b:5d}  {t*1e3:8.3f}  {b/t:8.1f}", flush=True)
     return 0
 
