@@ -674,20 +674,31 @@ def cmd_serve(args) -> int:
         with open(os.path.join(args.checkpoint, "manifest.json")) as f:
             manifest = json.load(f)
     max_batch = args.max_batch
+    buckets = None
     if not max_batch:
-        # Measured serving defaults (KERNEL_STUDIES §11): ViT throughput
-        # peaks at small batch (3.3k img/s at 8, cliff past 32 — the f32
-        # attention-logits working set); CNNs keep scaling to 64+. For a
-        # checkpoint, the family in its manifest decides (args.model stays
-        # at its default and must not).
-        is_vit = (
-            manifest.get("family") == "vit" if manifest is not None
-            else args.model.startswith("vit")
-        )
-        max_batch = 32 if is_vit else 64
+        # Measured per-family serving defaults from the round-4 batch
+        # sweeps (models/common.serving_defaults; KERNEL_STUDIES §11/§11b):
+        # ViT peaks at batch 8 and cliffs past 32 at every depth;
+        # resnet101 peaks at 128; resnet152 falls past 64. For a
+        # checkpoint, the manifest decides (its `model` key carries the
+        # registry name when present, else the family string).
+        from qcnn_tpu.models.common import serving_defaults
+
+        if manifest is not None:
+            key = manifest.get("family") or ""
+            spec_path = os.path.join(args.checkpoint, "spec.json")
+            if os.path.exists(spec_path):  # family ckpts: the model name
+                with open(spec_path) as f:
+                    key = json.load(f).get("name", key)
+        else:
+            key = args.model
+        defaults = serving_defaults(key)
+        max_batch = defaults["max_batch"]
+        buckets = defaults["buckets"]
     config = EngineConfig(
         max_batch=max_batch, max_wait_ms=args.max_wait_ms,
-        max_queue=args.max_queue, deadline_ms=args.deadline_ms
+        max_queue=args.max_queue, deadline_ms=args.deadline_ms,
+        buckets=buckets,
     )
     preprocessor = None
     class_names = None

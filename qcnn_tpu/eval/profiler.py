@@ -125,7 +125,7 @@ def _layer_fn(layer, p, strategy, first_fc, compute_dtype):
 
 
 # strategies whose phases live in ONE Pallas kernel — not separable
-_FUSED_STRATS = {"fused", "fgather", "pallas"}
+_FUSED_STRATS = {"fused", "fgather", "pallas", "fusedconv", "memory_fused"}
 
 
 def _phase1_fn(layer, p, strategy, first_fc, groups):

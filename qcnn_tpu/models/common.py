@@ -18,13 +18,17 @@ One shared constant each, so A/B tools (tools/decode_gather_ab.py) and a
 measured flip change exactly one value for every family.
 """
 
-# indecode_ohwi: one-hot decode consumed in its native OHWI layout.
-# Measured best one-program memory conv (KERNEL_STUDIES §9f): the im2col
-# GEMM reroute ('memory'/'gemm') that should dodge the computed-weight
-# conv relayout LOSES e2e (resnet50 b64 10.4 vs 8.9 ms) — patch
-# materialization via conv_general_dilated_patches costs more than the
-# relayout it saves; kept opt-in as the recorded negative.
-MEMORY_IMPL = "indecode_ohwi"
+# memory_fused (round 4): multi-tap stride-1 convs with cin >= 256 run
+# the fused in-kernel decode-conv Pallas kernel (the §9f end-run that
+# finally measured a WIN: isolated stage3 conv2 2.5x, e2e resnet50 b64
+# memory 8.43 -> 8.04 ms, tools/out/fusedconv_ab2.txt); everything else
+# falls back to the one-hot OHWI decode. Measured negatives kept on
+# record: the im2col GEMM reroute loses e2e (10.4 vs 8.9 ms, §9f);
+# routing 1x1 convs through the fused kernel loses badly (13.1 vs 8.0 ms,
+# fusedconv_ab3.txt — single-tap cells are grid-overhead-bound); AlexNet's
+# linear-spec 'memory' stays indecode_ohwi (fc-dominated, fused conv arm
+# neutral: 4.74 vs 4.82 ms b256, memory_fused_e2e_ab.txt).
+MEMORY_IMPL = "memory_fused"
 MEMORY_FC_IMPL = "auto"
 
 
@@ -60,3 +64,36 @@ def fc_memory_impl(batch: int, params: dict, dtype=None) -> str:
     if batch <= 2:
         return "lutgather"
     return "fgather"
+
+
+def serving_defaults(model: str) -> dict:
+    """Measured per-family serving config: {max_batch, buckets}.
+
+    Derived from the round-4 batch sweeps (tools/vit_batch_sweep.py,
+    tools/out/sweep_*.txt; KERNEL_STUDIES §11/§11b — bf16 input,
+    harness-baseline-subtracted):
+
+    - ViT (every depth): throughput peaks at batch 8 and falls past 32
+      (the attention-logits working set grows linearly with batch while
+      GEMM efficiency saturates); ViT-L tracks ViT-B's efficiency at its
+      ~3.8x per-image cost (877 img/s @ b8 vs B/16's 3.3k @ b8), so the
+      SAME ladder serves both. max_batch 32, ladder (1, 8, 32).
+    - resnet50 and shallower: keeps scaling through 64+ -> max_batch 64,
+      ladder (1, 8, 32, 64).
+    - resnet101: peak at b128 (9.2k img/s vs 8.4k @ 64) -> max_batch 128.
+    - resnet152: peak at b32 (7.1k) with b64 within 2%; past 64 it FALLS
+      (6.4k @ 128, 5.5k @ 256 — the 60M-param weight stream plus deep
+      activation working set) -> max_batch 64, ladder (1, 8, 32, 64).
+
+    `model` may be a zoo name, family registry name, or a checkpoint
+    manifest family string ("vit"/"resnet").
+    """
+    m = model.lower()
+    if m.startswith("vit"):
+        return {"max_batch": 32, "buckets": (1, 8, 32)}
+    if "resnet101" in m:
+        return {"max_batch": 128, "buckets": (1, 8, 32, 128)}
+    if "resnet152" in m:
+        return {"max_batch": 64, "buckets": (1, 8, 32, 64)}
+    # CNNs (AlexNet class, VGG, resnet18/50): scale through 64
+    return {"max_batch": 64, "buckets": (1, 8, 32, 64)}

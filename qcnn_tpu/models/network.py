@@ -57,7 +57,8 @@ from qcnn_tpu.ops import (
 # layer geometry and batch (docs/KERNEL_STUDIES.md §9-§9f). These tuples
 # are the request-level vocabulary enforced by resolve_strategy.
 CONV_IMPLS = ("auto", "decode", "indecode", "indecode_ohwi", "indecode_hwoi",
-              "gdecode", "gdecode_iohw", "gemm", "lut", "memory")
+              "gdecode", "gdecode_iohw", "gemm", "lut", "memory",
+              "fusedconv", "memory_fused")
 FC_IMPLS = ("auto", "onehot", "gather", "decode", "indecode", "gdecode",
             "pallas", "fused", "fgather", "lutgather", "memory")
 

@@ -405,6 +405,37 @@ def pq_conv(
             x, params, stride=stride, pad=pad, groups=groups,
             via="onehot_ohwi", out_dtype=out_dtype,
         )
+    if impl in ("fusedconv", "memory_fused"):
+        # in-kernel gather decode + tap GEMMs: the decoded weight never
+        # crosses an XLA boundary, so the §9f computed-weight relayout
+        # cannot exist (ops/pallas/pq_conv_fused.py; KERNEL_STUDIES §16).
+        # 'memory_fused' is the mixed memory mode: fused kernel where the
+        # geometry qualifies (stride-1 ungrouped square multi-tap),
+        # one-hot OHWI decode elsewhere.
+        from qcnn_tpu.ops.pallas import pq_conv_fused
+        from qcnn_tpu.ops.pallas.pq_conv_fused import supports
+
+        cin_gate = x.shape[-1] if impl == "memory_fused" else None
+        # the mix routes MULTI-TAP convs only: 1x1 through the fused
+        # kernel measured 13.1 vs 8.0 ms e2e (resnet50 b64 memory,
+        # tools/out/fusedconv_ab3.txt) — single-tap cells are one small
+        # dot each (grid-overhead-bound) and 1x1 computed-weight
+        # relayouts were already cheap (§9f)
+        multi_tap = params["assignments"].shape[1] > 1
+        if (supports(params, stride=stride, groups=groups, cin=cin_gate)
+                and (impl == "fusedconv" or multi_tap)):
+            out = pq_conv_fused(x, params, stride=stride, pad=pad,
+                                groups=groups)
+            return out.astype(out_dtype) if out_dtype is not None else out
+        if impl == "fusedconv":
+            raise ValueError(
+                "pq_conv_fused: unsupported geometry (use 'memory_fused' "
+                "for the auto-fallback mix)"
+            )
+        return pq_conv_decode(
+            x, params, stride=stride, pad=pad, groups=groups,
+            via="onehot_ohwi", out_dtype=out_dtype,
+        )
     if impl == "lut":
         return pq_conv_lut(x, params, stride=stride, pad=pad, groups=groups,
                            out_dtype=out_dtype)

@@ -468,3 +468,66 @@ def test_pq_conv_memory_impl_routes_by_geometry(rng):
     want = np.asarray(pq_conv(x, params, stride=1, pad=1, impl="decode"))
     got = np.asarray(pq_conv(x, params, stride=1, pad=1, impl="memory"))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# fused in-kernel decode-conv (ops/pallas/pq_conv_fused.py, round 4)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "b,h,w,cin,cout,kh,pad,s,k,d",
+    [
+        (2, 7, 7, 64, 96, 3, 1, 16, 16, 4),     # stage3-shaped
+        (3, 9, 11, 32, 128, 3, 1, 8, 32, 4),    # non-square spatial
+        (1, 14, 14, 48, 64, 5, 2, 24, 128, 2),  # 5x5 taps, D=2, K=128
+        (2, 7, 7, 50, 70, 3, 1, 13, 16, 4),     # ragged cin/cout/S
+    ],
+)
+def test_pq_conv_fused_matches_decode(rng, b, h, w, cin, cout, kh, pad,
+                                      s, k, d):
+    """In-kernel gather-decode + tap GEMMs vs the decode oracle (interpret
+    mode; the compiled path is gated by tools/tpu_smoke.py)."""
+    from qcnn_tpu.ops.conv import pq_conv
+    from qcnn_tpu.ops.pallas.pq_conv_fused import pq_conv_fused
+
+    cb = (rng.standard_normal((s, k, d)) * 0.3).astype(np.float32)
+    asmt = rng.integers(0, k, size=(cout, kh, kh, s), dtype=np.uint8)
+    params = {"codebooks": jnp.asarray(cb), "assignments": jnp.asarray(asmt),
+              "bias": jnp.asarray(rng.standard_normal(cout), jnp.float32)}
+    x = rng.standard_normal((b, h, w, cin)).astype(np.float32)
+    want = np.asarray(pq_conv(jnp.asarray(x), params, stride=1, pad=pad,
+                              impl="decode"))
+    got = np.asarray(pq_conv_fused(jnp.asarray(x, jnp.bfloat16), params,
+                                   stride=1, pad=pad, interpret=True))
+    assert got.shape == want.shape
+    rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+    assert rel < 2e-2, rel  # bf16 activation quantization
+
+
+def test_pq_conv_memory_fused_mix(rng):
+    """'memory_fused' routes qualifying geometries to the fused kernel and
+    everything else to the OHWI one-hot decode — both match 'decode'."""
+    from qcnn_tpu.ops.conv import pq_conv
+    from qcnn_tpu.ops.pallas.pq_conv_fused import _auto_block_b, supports
+
+    s, k, d, cout = 64, 16, 4, 40
+    cb = (rng.standard_normal((s, k, d)) * 0.3).astype(np.float32)
+    asmt = rng.integers(0, k, size=(cout, 3, 3, s), dtype=np.uint8)
+    params = {"codebooks": jnp.asarray(cb), "assignments": jnp.asarray(asmt),
+              "bias": jnp.asarray(rng.standard_normal(cout), jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((2, 5, 5, 256)), jnp.float32)
+    for stride in (1, 2):  # stride-2 exercises the fallback arm
+        want = np.asarray(pq_conv(x, params, stride=stride, pad=1,
+                                  impl="decode"))
+        got = np.asarray(pq_conv(x, params, stride=stride, pad=1,
+                                 impl="memory_fused"))
+        # fused computes with bf16 activations; scale tolerance to |y|max
+        rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+        assert rel < 2e-2, rel
+    # the cin gate: small-channel convs stay on the one-hot decode
+    assert supports(params, stride=1, groups=1, cin=512)
+    assert not supports(params, stride=1, groups=1, cin=64)
+    assert not supports(params, stride=2, groups=1)
+    # VMEM-aware batch tile: 56x56 grids shrink the block, 7x7 keeps it
+    assert _auto_block_b(56, 56, 1, 3, 3, 8) < 8
+    assert _auto_block_b(7, 7, 1, 3, 3, 8) == 8

@@ -504,3 +504,26 @@ def test_bucket_cap_below_max_batch(tiny_spec, rng):
         assert eng.stats["padded_waste"] >= 0
     finally:
         eng.stop()
+
+
+def test_serving_defaults_by_family_depth():
+    """Round-4 measured ladders (KERNEL_STUDIES §11b): ViT depth-invariant
+    peak-at-8 ladder; resnet101 peaks at 128; resnet152 capped at 64."""
+    from qcnn_tpu.models.common import serving_defaults
+
+    assert serving_defaults("vit_b16") == {
+        "max_batch": 32, "buckets": (1, 8, 32)}
+    assert serving_defaults("ViT-L/16") == {
+        "max_batch": 32, "buckets": (1, 8, 32)}
+    assert serving_defaults("ResNet101")["max_batch"] == 128
+    assert serving_defaults("resnet152")["max_batch"] == 64
+    assert serving_defaults("alexnet") == {
+        "max_batch": 64, "buckets": (1, 8, 32, 64)}
+    # the ladders are valid EngineConfig bucket sets
+    from qcnn_tpu.serve.engine import EngineConfig
+
+    for name in ("vit_l16", "resnet101", "resnet152", "alexnet"):
+        d = serving_defaults(name)
+        cfg = EngineConfig(max_batch=d["max_batch"], buckets=d["buckets"])
+        ladder = cfg.bucket_ladder()
+        assert ladder[-1] == d["max_batch"]
