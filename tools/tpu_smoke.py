@@ -121,6 +121,22 @@ def main() -> int:
         got_c = np.asarray(pq_conv(xc, pc, stride=2, pad=1, impl=impl))
         ok &= check(f"pq_conv/{impl}", got_c, conv_want, 5e-3)
 
+    # fused in-kernel decode-conv (§16b): stride-1 stage3-class geometry
+    # (cin >= 256 trips the memory_fused routing gate); bf16 activations
+    # inside the kernel -> 2e-2 tolerance like the other bf16 kernels
+    cbf3 = jnp.asarray(
+        rng.standard_normal((64, 128, 4)).astype(np.float32) * 0.1)
+    af3 = jnp.asarray(
+        rng.integers(0, 128, size=(96, 3, 3, 64), dtype=np.uint8))
+    pf3 = {"codebooks": cbf3, "assignments": af3,
+           "bias": jnp.asarray(rng.standard_normal(96), jnp.float32)}
+    xf3 = jnp.asarray(rng.standard_normal((2, 7, 7, 256)), jnp.float32)
+    fused_want = np.asarray(pq_conv(xf3, pf3, stride=1, pad=1,
+                                    impl="decode"))
+    for impl in ("fusedconv", "memory_fused"):
+        got_f = np.asarray(pq_conv(xf3, pf3, stride=1, pad=1, impl=impl))
+        ok &= check(f"pq_conv/{impl}", got_f, fused_want, 2e-2)
+
     # batch-1 fc memory arms (the serving path, §9d)
     cbf = jnp.asarray(rng.standard_normal((64, 32, 4)), jnp.float32)
     af1 = jnp.asarray(rng.integers(0, 32, size=(250, 64), dtype=np.uint8))
