@@ -127,6 +127,14 @@ class BatchingEngine:
         self.stats = {"requests": 0, "batches": 0, "padded_waste": 0,
                       "rejected": 0, "expired": 0}
         self._latencies_ms: list[float] = []  # dispatch->result, recent
+        self._upload_bufs: dict[int, np.ndarray] = {}  # per-bucket, reused
+        # assembly -> compute pipeline (bounded): the dispatcher thread
+        # pops/assembles/uploads batch N+1 while the compute thread runs
+        # the forward for batch N — host-side batch formation (~6 ms/64 at
+        # 39 MB) and the tunnel upload overlap device compute instead of
+        # serializing with it (measured in tools/engine_inproc_bench.py)
+        self._compute_q: queue.Queue = queue.Queue(maxsize=2)
+        self._compute_thread: Optional[threading.Thread] = None
 
     def __init__(
         self,
@@ -208,6 +216,10 @@ class BatchingEngine:
         self._thread = threading.Thread(
             target=self._dispatch_loop, name="qcnn-dispatch", daemon=True
         )
+        self._compute_thread = threading.Thread(
+            target=self._compute_loop, name="qcnn-compute", daemon=True
+        )
+        self._compute_thread.start()
         self._thread.start()
         return self
 
@@ -215,6 +227,27 @@ class BatchingEngine:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=10)
+        if self._compute_thread is not None:
+            # sentinel AFTER the dispatcher joined: already-uploaded
+            # batches complete (the device work is paid), then exit
+            try:
+                self._compute_q.put(None, timeout=60)
+            except queue.Full:
+                pass  # compute stage wedged; it is a daemon thread
+            self._compute_thread.join(timeout=60)
+            if not self._compute_thread.is_alive():
+                # fail anything still in the pipeline so callers don't
+                # hang for their full classify() timeout
+                while True:
+                    try:
+                        item = self._compute_q.get_nowait()
+                    except queue.Empty:
+                        break
+                    if item is None:
+                        continue
+                    for fut in item[1]:
+                        if not fut.done():
+                            fut.set_exception(RuntimeError("engine stopped"))
         # Requests enqueued just before stop would otherwise hang their
         # callers until the full classify() timeout.
         self._drain_stopped()
@@ -325,6 +358,35 @@ class BatchingEngine:
                 continue
             return item
 
+    def _assemble(self, batch):
+        """Single-pass batch assembly into a REUSED per-bucket upload
+        buffer: each image is written (and dtype-cast) exactly once, pad
+        rows zero in place. The previous stack -> astype -> concatenate
+        pipeline made three full passes over the batch with fresh 39 MB
+        allocations per dispatch (page-fault-bound: measured ~85 ms per
+        64-batch on this host) and capped the dispatcher at ~420 img/s
+        with a zero-cost forward (tools/engine_inproc_bench.py,
+        KERNEL_STUDIES §12). Buffer reuse is safe: the dispatch loop is
+        serial and _to_device copies the host buffer before returning."""
+        n = len(batch)
+        bucket = self._bucket_for(n)
+        buf = self._upload_bufs.get(bucket)
+        if buf is None:
+            buf = np.empty(
+                (bucket, self.spec.in_height, self.spec.in_width,
+                 self.spec.in_channels),
+                self._upload_dtype,
+            )
+            self._upload_bufs[bucket] = buf
+        for i, item in enumerate(batch):
+            buf[i] = item[0]
+        if bucket > n:
+            # stale rows from a previous, fuller batch must not leak into
+            # this dispatch (padding rows are sliced off the results, but
+            # keep them zero so padded compute is deterministic)
+            buf[n:] = 0
+        return buf, n, bucket
+
     def _to_device(self, images: np.ndarray):
         """Host batch -> device array (the upload). A seam for harnesses
         that model device-local serving (tools/engine_inproc_bench.py):
@@ -363,21 +425,33 @@ class BatchingEngine:
             batch = [b for b in batch if b[1].set_running_or_notify_cancel()]
             if not batch:
                 continue
-            images = np.stack([b[0] for b in batch]).astype(
-                self._upload_dtype, copy=False
-            )
+            images, n, bucket = self._assemble(batch)
             futures = [b[1] for b in batch]
-            n = len(batch)
-            bucket = self._bucket_for(n)
-            if bucket > n:
-                pad = np.zeros(
-                    (bucket - n,) + images.shape[1:], self._upload_dtype
-                )
-                images = np.concatenate([images, pad])
+            try:
+                # the upload happens HERE, on the assembly thread, so it
+                # overlaps the compute thread's forward for the previous
+                # batch (on tunneled rigs the upload IS the bottleneck);
+                # it also frees the reused host buffer for the next batch
+                dev_images = self._to_device(images)
+            except Exception as e:  # noqa: BLE001 - propagate to callers
+                for fut in futures:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            self._compute_q.put((dev_images, futures, n, bucket))
+
+    def _compute_loop(self) -> None:
+        """Second pipeline stage: run the forward on pre-uploaded batches
+        and resolve futures. Exits on the stop() sentinel so batches that
+        were already assembled/uploaded still complete."""
+        while True:
+            item = self._compute_q.get()
+            if item is None:
+                return
+            dev_images, futures, n, bucket = item
             t_dispatch = time.perf_counter()
             try:
-                probs = np.asarray(
-                    self._fwd(self.params, self._to_device(images)))
+                probs = np.asarray(self._fwd(self.params, dev_images))
                 for i, fut in enumerate(futures):
                     fut.set_result(probs[i])
             except Exception as e:  # noqa: BLE001 - propagate to callers

@@ -527,3 +527,54 @@ def test_serving_defaults_by_family_depth():
         cfg = EngineConfig(max_batch=d["max_batch"], buckets=d["buckets"])
         ladder = cfg.bucket_ladder()
         assert ladder[-1] == d["max_batch"]
+
+
+# ---------------------------------------------------------------------------
+# pipelined dispatcher (round 4): assembly/upload stage -> compute stage
+# ---------------------------------------------------------------------------
+
+def _echo_engine(max_batch=4, max_wait_ms=2.0):
+    """Stub engine whose forward returns each row's mean — results reveal
+    exactly which image filled each batch slot (reused-buffer leaks and
+    stale pad rows would corrupt them)."""
+    from tools.engine_inproc_bench import make_stub_engine
+
+    eng = make_stub_engine(
+        EngineConfig(max_batch=max_batch, max_wait_ms=max_wait_ms),
+        (5, 5, 2), 1, lambda b: 0.0,
+    )
+    eng._fwd = lambda params, x: np.asarray(x).reshape(x.shape[0], -1).mean(
+        axis=1, keepdims=True)
+    return eng
+
+
+def test_pipeline_buffer_reuse_no_stale_rows():
+    """A fuller batch then a smaller one through the same reused upload
+    buffer: every request gets ITS image's result, and the smaller batch
+    is not polluted by the previous batch's rows."""
+    eng = _echo_engine()
+    with eng:
+        for wave, vals in enumerate(([1.0, 2.0, 3.0, 4.0], [5.0, 6.0])):
+            imgs = [np.full((5, 5, 2), v, np.float32) for v in vals]
+            futs = [eng.submit(im) for im in imgs]
+            got = [float(f.result(timeout=30)[0]) for f in futs]
+            assert got == pytest.approx(vals), (wave, got)
+
+
+def test_stop_completes_or_fails_everything():
+    """stop() leaves no hung futures: already-pipelined batches complete,
+    anything still queued fails fast with RuntimeError."""
+    eng = _echo_engine(max_batch=2, max_wait_ms=1.0)
+    eng.start()
+    futs = [eng.submit(np.full((5, 5, 2), float(i), np.float32))
+            for i in range(32)]
+    eng.stop()
+    outcomes = []
+    for f in futs:
+        try:
+            outcomes.append(float(f.result(timeout=5)[0]))
+        except RuntimeError:
+            outcomes.append(None)
+    assert len(outcomes) == 32  # nothing hung past its timeout
+    done_vals = [v for v in outcomes if v is not None]
+    assert done_vals == sorted(done_vals)  # FIFO order preserved

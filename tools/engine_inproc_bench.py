@@ -39,42 +39,85 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def closed_loop(engine, image, n_requests: int, inflight: int) -> dict:
+def closed_loop(engine, image, n_requests: int, inflight: int,
+                feeders: int = 1) -> dict:
     """Drive the engine closed-loop: keep `inflight` requests outstanding
-    until n_requests complete; return throughput + latency stats."""
-    done = threading.Semaphore(0)
+    until n_requests complete; return throughput + latency stats.
+
+    Driver caveat (measured): the feeder round-trips are GIL-coupled to
+    the engine's compute thread (done-callbacks run inline in set_result),
+    so the closed loop under-measures the engine — one feeder caps near
+    2k req/s and MORE feeders thrash worse (8 feeders: 570 img/s). The
+    engine's own ceiling is the `drain` measurement below; the closed
+    loop is kept as the realistic single-client view."""
     lat: list[float] = []
     lock = threading.Lock()
-    submitted = [0]
 
-    def submit_one():
-        t0 = time.perf_counter()
-        fut = engine.submit(image)
+    def feeder(n: int, k: int):
+        done = threading.Semaphore(0)
+        submitted = [0]
 
-        def cb(f):
-            with lock:
-                lat.append(time.perf_counter() - t0)
-            done.release()
+        def submit_one():
+            t0 = time.perf_counter()
+            fut = engine.submit(image)
 
-        fut.add_done_callback(cb)
+            def cb(f):
+                with lock:
+                    lat.append(time.perf_counter() - t0)
+                done.release()
 
-    t_start = time.perf_counter()
-    for _ in range(min(inflight, n_requests)):
-        submit_one()
-        submitted[0] += 1
-    completed = 0
-    while completed < n_requests:
-        done.acquire()
-        completed += 1
-        if submitted[0] < n_requests:
+            fut.add_done_callback(cb)
+
+        for _ in range(min(k, n)):
             submit_one()
             submitted[0] += 1
+        completed = 0
+        while completed < n:
+            done.acquire()
+            completed += 1
+            if submitted[0] < n:
+                submit_one()
+                submitted[0] += 1
+
+    per = n_requests // feeders
+    counts = [per + (1 if i < n_requests % feeders else 0)
+              for i in range(feeders)]
+    k = max(1, inflight // feeders)
+    threads = [threading.Thread(target=feeder, args=(n, k), daemon=True)
+               for n in counts if n]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
     dt = time.perf_counter() - t_start
     arr = np.asarray(lat) * 1e3
     return {
         "img_per_s": n_requests / dt,
         "p50_ms": float(np.percentile(arr, 50)),
         "p99_ms": float(np.percentile(arr, 99)),
+        "batches": engine.stats["batches"],
+        "mean_batch": engine.stats["requests"] / max(
+            engine.stats["batches"], 1),
+        "padded_waste": engine.stats["padded_waste"],
+    }
+
+
+def drain(engine, image, n_requests: int) -> dict:
+    """Pure engine machinery rate: pre-submit n_requests into the queue
+    of a NOT-YET-STARTED engine, then start it and time the drain. No
+    feeder coupling — this is the dispatcher+compute pipeline's own
+    ceiling (assembly, upload, forward, future resolution)."""
+    futs = [engine.submit(image) for _ in range(n_requests)]
+    t0 = time.perf_counter()
+    engine.start()
+    for f in futs:
+        f.result(timeout=600)
+    dt = time.perf_counter() - t0
+    return {
+        "img_per_s": n_requests / dt,
+        "p50_ms": float("nan"),
+        "p99_ms": float("nan"),
         "batches": engine.stats["batches"],
         "mean_batch": engine.stats["requests"] / max(
             engine.stats["batches"], 1),
@@ -108,6 +151,11 @@ def make_stub_engine(config, shape, n_classes: int, step_s_of_bucket):
 
     eng.params = None
     eng._fwd = fwd
+    # the seam engine.py:_to_device documents: identity, so the stub rows
+    # measure the machinery, not a backend upload (without this, a live
+    # axon/TPU backend ships every 39 MB stub batch through the tunnel
+    # and the 'machinery ceiling' is silently transport-bound)
+    eng._to_device = lambda images: images
     eng._init_runtime()
     return eng
 
@@ -132,11 +180,17 @@ def main() -> int:
 
     rows = []
 
-    # 1) machinery ceiling: zero-cost forward
+    # 1) machinery ceiling: zero-cost forward. The DRAIN row is the
+    # engine's own rate (no feeder coupling); the closed-loop row is the
+    # single-client view (GIL-coupled, under-measures — see closed_loop).
+    eng0 = make_stub_engine(cfg, shape, 1000, lambda b: 0.0)
+    r = drain(eng0, image, args.requests)
+    eng0.stop()
+    rows.append(("engine drain ceiling (zero-cost fwd)", r))
     eng0 = make_stub_engine(cfg, shape, 1000, lambda b: 0.0)
     with eng0:
         r = closed_loop(eng0, image, args.requests, args.inflight)
-    rows.append(("machinery ceiling (zero-cost fwd)", r))
+    rows.append(("closed loop, 1 feeder (zero-cost fwd)", r))
 
     # 2) device-local model: sleep the measured (or given) step time,
     # scaled per bucket by a simple linear-in-batch model anchored at the
@@ -181,10 +235,15 @@ def main() -> int:
         return (0.3 + (step_ms - 0.3) * b / args.max_batch) / 1e3
 
     eng1 = make_stub_engine(cfg, shape, 1000, model)
+    r = drain(eng1, image, args.requests)
+    eng1.stop()
+    rows.append((f"engine drain, device-local model (step {step_ms:.2f} ms"
+                 f" @{args.max_batch})", r))
+    eng1 = make_stub_engine(cfg, shape, 1000, model)
     with eng1:
         r = closed_loop(eng1, image, args.requests, args.inflight)
-    rows.append((f"device-local model (step {step_ms:.2f} ms @"
-                 f"{args.max_batch})", r))
+    rows.append((f"closed loop, device-local model (step {step_ms:.2f} ms"
+                 f" @{args.max_batch})", r))
 
     # 3) real chip through the tunnel (honest but transport-dominated)
     if not args.stub_only:
