@@ -201,6 +201,10 @@ class BatchingEngine:
         self._init_runtime()
 
     def latency_percentiles(self) -> dict:
+        """Per-batch COMPUTE-stage latency (forward + result resolution).
+        Since the round-4 pipelined dispatcher, the host->device upload
+        runs in the assembly stage and is NOT in these numbers; end-to-end
+        request latency is the HTTP layer's to measure."""
         if not self._latencies_ms:
             return {}
         arr = np.asarray(self._latencies_ms[-1000:])
