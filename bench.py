@@ -51,19 +51,25 @@ _BASELINES: dict = {}
 
 
 def harness_baseline(x, k1: int, k2: int) -> float:
-    """Per-iteration cost of the devtime loop itself (identity fn at this
-    input shape): the sin-perturbation + full-output reduction run over the
-    whole input every iteration — 0.495 ms/iter at (256,227,227,3) f32,
-    0.155 ms bf16, measured round 4 (tools/out/headline_attr_r4_measure.txt).
-    The per-layer profiler has always subtracted this
-    (eval/profiler.py:136-146); the whole-step number now does too, so the
-    two are comparable and the reported time is the PROGRAM's."""
+    """Per-iteration cost of the devtime loop itself at this input shape:
+    the sin-perturbation over x that every iteration pays regardless of fn.
+
+    The baseline fn returns a rank-preserving corner slice, NOT the
+    identity: the loop reduces fn's OUTPUT each iteration, so an identity
+    baseline would also contain a full input-sized reduction (~79 MB bf16
+    at batch 256) that the real step never pays (its output is the
+    batch x 1000 logits) — subtracting it biased every number ~1-4% fast
+    (round-4 review finding). Corner slice, not ravel: jnp.ravel re-tiles
+    the whole tensor to 1-D on TPU, which measured SLOWER than the full
+    AlexNet step (negative step times). The perturbation itself cannot be
+    elided by the slice: it acts on the loop CARRY, not on fn's output."""
     from qcnn_tpu.utils.devtime import time_device_fn
 
     key = (tuple(x.shape), str(x.dtype))
     if key not in _BASELINES:
         _BASELINES[key] = time_device_fn(
-            lambda v, *_: v, x, k1=k1, k2=k2, reps=5)
+            lambda v, *_: v[(slice(0, 1),) * v.ndim], x,
+            k1=k1, k2=k2, reps=5)
         log(f"harness baseline {key}: {_BASELINES[key]*1e3:.3f} ms/iter")
     return _BASELINES[key]
 

@@ -284,7 +284,25 @@ def profile_layers(
         # phases run under perturb_rest so the weight-only computation
         # cannot hoist out of the timing loop.
         phase_label = phase1 = None
-        ph = _phase1_fn(layer, p, strategy, first_fc,
+        # 'memory_fused' is a MIX (ops/conv.py): only bf16 multi-tap
+        # stride-1 cin>=256 convs hit the inseparable fused kernel; the
+        # rest run the one-hot OHWI decode, whose decode/contract phase
+        # split must still be reported (round-4 review finding)
+        ph_strategy = strategy
+        if (strategy == "memory_fused" and isinstance(layer, ConvSpec)
+                and isinstance(p, dict) and "codebooks" in p):
+            from qcnn_tpu.ops.pallas.pq_conv_fused import supports
+
+            routed_fused = (
+                str(x.dtype) == "bfloat16"
+                and supports(p, stride=layer.stride,
+                             groups=getattr(layer, "groups", 1),
+                             cin=x.shape[-1])
+                and p["assignments"].shape[1] > 1
+            )
+            if not routed_fused:
+                ph_strategy = "indecode_ohwi"
+        ph = _phase1_fn(layer, p, ph_strategy, first_fc,
                         getattr(layer, "groups", 1))
         if ph is not None:
             phase_label, ph_fn = ph

@@ -422,7 +422,15 @@ def pq_conv(
         # dot each (grid-overhead-bound) and 1x1 computed-weight
         # relayouts were already cheap (§9f)
         multi_tap = params["assignments"].shape[1] > 1
-        if (supports(params, stride=stride, groups=groups, cin=cin_gate)
+        # dtype gate (mirrors fc_memory_impl's rule): the kernel computes
+        # with bf16 activations, so f32 callers — whose previous
+        # indecode_ohwi path was f32-exact — must NOT be silently
+        # quantized by the 'memory_fused' mix; explicit 'fusedconv' means
+        # the caller chose the kernel and keeps it at any dtype
+        bf16_ok = x.dtype == jnp.bfloat16 or impl == "fusedconv"
+        if (bf16_ok
+                and supports(params, stride=stride, groups=groups,
+                             cin=cin_gate)
                 and (impl == "fusedconv" or multi_tap)):
             out = pq_conv_fused(x, params, stride=stride, pad=pad,
                                 groups=groups)

@@ -127,13 +127,23 @@ class BatchingEngine:
         self.stats = {"requests": 0, "batches": 0, "padded_waste": 0,
                       "rejected": 0, "expired": 0}
         self._latencies_ms: list[float] = []  # dispatch->result, recent
-        self._upload_bufs: dict[int, np.ndarray] = {}  # per-bucket, reused
-        # assembly -> compute pipeline (bounded): the dispatcher thread
-        # pops/assembles/uploads batch N+1 while the compute thread runs
-        # the forward for batch N — host-side batch formation (~6 ms/64 at
+        # (bucket, rotation-slot) -> buffer; see _assemble/_BUF_ROT
+        self._upload_bufs: dict[tuple[int, int], np.ndarray] = {}
+        # assembly -> compute pipeline: the dispatcher thread pops/
+        # assembles/uploads batch N+1 while the compute thread runs the
+        # forward for batch N — host-side batch formation (~6 ms/64 at
         # 39 MB) and the tunnel upload overlap device compute instead of
-        # serializing with it (measured in tools/engine_inproc_bench.py)
-        self._compute_q: queue.Queue = queue.Queue(maxsize=2)
+        # serializing with it (measured in tools/engine_inproc_bench.py).
+        # _slots bounds LIVE batches to _BUF_ROT (one computing + one
+        # assembling): the compute stage releases a slot when a batch's
+        # forward has finished, which is when its upload buffer — aliased
+        # by jnp.asarray on the CPU backend, pinned by PJRT mid-transfer
+        # elsewhere — is provably safe to overwrite. Cycling MORE buffers
+        # instead measured 2-6x slower on the drain bench (three 39 MB
+        # buffers thrash the host cache); two is the minimum that keeps
+        # the overlap and the fastest measured.
+        self._compute_q: queue.Queue = queue.Queue()
+        self._slots = threading.BoundedSemaphore(self._BUF_ROT)
         self._compute_thread: Optional[threading.Thread] = None
 
     def __init__(
@@ -362,26 +372,36 @@ class BatchingEngine:
                 continue
             return item
 
+    # distinct upload buffers per bucket. jnp.asarray does NOT copy a
+    # host buffer synchronously — the CPU backend aliases numpy memory
+    # outright, and PJRT transfers require the buffer valid until done —
+    # so a buffer may only be reused once its batch's compute finished
+    # (compute forces the transfer). _slots in _init_runtime caps live
+    # batches at _BUF_ROT; a slot is released only after the forward, so
+    # slot k's buffer can never be overwritten while still readable.
+    _BUF_ROT = 2
+
     def _assemble(self, batch):
-        """Single-pass batch assembly into a REUSED per-bucket upload
+        """Single-pass batch assembly into a ROTATED per-bucket upload
         buffer: each image is written (and dtype-cast) exactly once, pad
         rows zero in place. The previous stack -> astype -> concatenate
         pipeline made three full passes over the batch with fresh 39 MB
         allocations per dispatch (page-fault-bound: measured ~85 ms per
         64-batch on this host) and capped the dispatcher at ~420 img/s
         with a zero-cost forward (tools/engine_inproc_bench.py,
-        KERNEL_STUDIES §12). Buffer reuse is safe: the dispatch loop is
-        serial and _to_device copies the host buffer before returning."""
+        KERNEL_STUDIES §12b)."""
         n = len(batch)
         bucket = self._bucket_for(n)
-        buf = self._upload_bufs.get(bucket)
+        self._buf_cycle = (getattr(self, "_buf_cycle", 0) + 1)
+        key = (bucket, self._buf_cycle % self._BUF_ROT)
+        buf = self._upload_bufs.get(key)
         if buf is None:
             buf = np.empty(
                 (bucket, self.spec.in_height, self.spec.in_width,
                  self.spec.in_channels),
                 self._upload_dtype,
             )
-            self._upload_bufs[bucket] = buf
+            self._upload_bufs[key] = buf
         for i, item in enumerate(batch):
             buf[i] = item[0]
         if bucket > n:
@@ -429,15 +449,30 @@ class BatchingEngine:
             batch = [b for b in batch if b[1].set_running_or_notify_cancel()]
             if not batch:
                 continue
+            # abortable slot acquire (the pipeline-depth bound; released
+            # by the compute stage after the forward): a wedged compute
+            # stage — e.g. a first forward still compiling, minutes on
+            # the tunnel — must not leave the dispatcher, and therefore
+            # stop(), blocked forever; on stop, fail this batch's callers
+            # instead of hanging them
+            while not self._slots.acquire(timeout=0.1):
+                if self._stop.is_set():
+                    for _, fut, _ in batch:
+                        if not fut.done():
+                            fut.set_exception(RuntimeError("engine stopped"))
+                    batch = None
+                    break
+            if batch is None:
+                continue
             images, n, bucket = self._assemble(batch)
             futures = [b[1] for b in batch]
             try:
                 # the upload happens HERE, on the assembly thread, so it
                 # overlaps the compute thread's forward for the previous
-                # batch (on tunneled rigs the upload IS the bottleneck);
-                # it also frees the reused host buffer for the next batch
+                # batch (on tunneled rigs the upload IS the bottleneck)
                 dev_images = self._to_device(images)
             except Exception as e:  # noqa: BLE001 - propagate to callers
+                self._slots.release()
                 for fut in futures:
                     if not fut.done():
                         fut.set_exception(e)
@@ -455,7 +490,15 @@ class BatchingEngine:
             dev_images, futures, n, bucket = item
             t_dispatch = time.perf_counter()
             try:
-                probs = np.asarray(self._fwd(self.params, dev_images))
+                try:
+                    probs = np.asarray(self._fwd(self.params, dev_images))
+                finally:
+                    # forward finished (or failed): dev_images — which may
+                    # alias its upload buffer on the CPU backend — is no
+                    # longer read; hand the buffer slot back to the
+                    # assembler (a leaked slot would stall the pipeline)
+                    del dev_images
+                    self._slots.release()
                 for i, fut in enumerate(futures):
                     fut.set_result(probs[i])
             except Exception as e:  # noqa: BLE001 - propagate to callers

@@ -505,8 +505,9 @@ def test_pq_conv_fused_matches_decode(rng, b, h, w, cin, cout, kh, pad,
 
 
 def test_pq_conv_memory_fused_mix(rng):
-    """'memory_fused' routes qualifying geometries to the fused kernel and
-    everything else to the OHWI one-hot decode — both match 'decode'."""
+    """'memory_fused' routes qualifying bf16 geometries to the fused
+    kernel, everything else (incl. EVERY f32 caller — the round-4 review
+    dtype gate) to the OHWI one-hot decode."""
     from qcnn_tpu.ops.conv import pq_conv
     from qcnn_tpu.ops.pallas.pq_conv_fused import _auto_block_b, supports
 
@@ -515,15 +516,29 @@ def test_pq_conv_memory_fused_mix(rng):
     asmt = rng.integers(0, k, size=(cout, 3, 3, s), dtype=np.uint8)
     params = {"codebooks": jnp.asarray(cb), "assignments": jnp.asarray(asmt),
               "bias": jnp.asarray(rng.standard_normal(cout), jnp.float32)}
-    x = jnp.asarray(rng.standard_normal((2, 5, 5, 256)), jnp.float32)
-    for stride in (1, 2):  # stride-2 exercises the fallback arm
-        want = np.asarray(pq_conv(x, params, stride=stride, pad=1,
+    x32 = jnp.asarray(rng.standard_normal((2, 5, 5, 256)), jnp.float32)
+    x16 = x32.astype(jnp.bfloat16)
+    for stride in (1, 2):  # stride-2 exercises the geometry fallback arm
+        want = np.asarray(pq_conv(x16, params, stride=stride, pad=1,
                                   impl="decode"))
-        got = np.asarray(pq_conv(x, params, stride=stride, pad=1,
+        got = np.asarray(pq_conv(x16, params, stride=stride, pad=1,
                                  impl="memory_fused"))
         # fused computes with bf16 activations; scale tolerance to |y|max
         rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
         assert rel < 2e-2, rel
+    # dtype gate: an f32 caller must get the f32-EXACT one-hot decode,
+    # never a silent bf16 quantization (review finding: f32 memory-mode
+    # resnet runs degraded 2.4e-3 before this gate)
+    want32 = np.asarray(pq_conv(x32, params, stride=1, pad=1,
+                                impl="decode"))
+    got32 = np.asarray(pq_conv(x32, params, stride=1, pad=1,
+                               impl="memory_fused"))
+    np.testing.assert_allclose(got32, want32, rtol=1e-5, atol=1e-5)
+    # ... while the explicit 'fusedconv' impl honors the caller's choice
+    got_exp = np.asarray(pq_conv(x32, params, stride=1, pad=1,
+                                 impl="fusedconv"))
+    rel = np.abs(got_exp - want32).max() / max(np.abs(want32).max(), 1e-9)
+    assert 1e-5 < rel < 2e-2, rel  # really the bf16 kernel
     # the cin gate: small-channel convs stay on the one-hot decode
     assert supports(params, stride=1, groups=1, cin=512)
     assert not supports(params, stride=1, groups=1, cin=64)

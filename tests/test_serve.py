@@ -515,7 +515,8 @@ def test_serving_defaults_by_family_depth():
         "max_batch": 32, "buckets": (1, 8, 32)}
     assert serving_defaults("ViT-L/16") == {
         "max_batch": 32, "buckets": (1, 8, 32)}
-    assert serving_defaults("ResNet101")["max_batch"] == 128
+    assert serving_defaults("ResNet101") == {
+        "max_batch": 128, "buckets": (1, 8, 32, 64, 128)}
     assert serving_defaults("resnet152")["max_batch"] == 64
     assert serving_defaults("alexnet") == {
         "max_batch": 64, "buckets": (1, 8, 32, 64)}

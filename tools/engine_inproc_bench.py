@@ -143,7 +143,7 @@ def make_stub_engine(config, shape, n_classes: int, step_s_of_bucket):
     def fwd(params, x):
         b = x.shape[0]
         dt = step_s_of_bucket(b)
-        if dt:
+        if dt and dt > 0:
             time.sleep(dt)
         if b not in canned:
             canned[b] = np.zeros((b, n_classes), np.float32)
@@ -222,7 +222,7 @@ def main() -> int:
             return network.forward(p, x, spec=spec, conv_impls=ci,
                                    fc_impls=fi, compute_dtype=jnp.bfloat16)
 
-        base = time_device_fn(lambda v, *_: v, x, k1=4, k2=20)
+        base = time_device_fn(lambda v, *_: v[(slice(0, 1),) * v.ndim], x, k1=4, k2=20)
         t = time_device_fn(step, x, prep, k1=4, k2=20) - base
         step_ms = t * 1e3
         log(f"measured AlexNet bf16 batch-{args.max_batch} step: "

@@ -58,7 +58,7 @@ def main() -> int:
                 params, x, spec=spec, compute_dtype=jnp.bfloat16
             )
 
-        base = time_device_fn(lambda v, *_: v, x, k1=2, k2=10, reps=3)
+        base = time_device_fn(lambda v, *_: v[(slice(0, 1),) * v.ndim], x, k1=2, k2=10, reps=3)
         t = max(time_device_fn(step, x, prepared) - base, 1e-9)
         print(f"{b:5d}  {t*1e3:8.3f}  {b/t:8.1f}", flush=True)
     return 0
