@@ -133,8 +133,12 @@ def main() -> int:
     xf3 = jnp.asarray(rng.standard_normal((2, 7, 7, 256)), jnp.float32)
     fused_want = np.asarray(pq_conv(xf3, pf3, stride=1, pad=1,
                                     impl="decode"))
-    for impl in ("fusedconv", "memory_fused"):
-        got_f = np.asarray(pq_conv(xf3, pf3, stride=1, pad=1, impl=impl))
+    # 'memory_fused' routes only bf16 activations to the fused kernel
+    # (round-4 review dtype gate) — drive it as production does; the
+    # explicit 'fusedconv' arm honors any dtype
+    for impl, xa in (("fusedconv", xf3),
+                     ("memory_fused", xf3.astype(jnp.bfloat16))):
+        got_f = np.asarray(pq_conv(xa, pf3, stride=1, pad=1, impl=impl))
         ok &= check(f"pq_conv/{impl}", got_f, fused_want, 2e-2)
 
     # batch-1 fc memory arms (the serving path, §9d)
