@@ -252,15 +252,19 @@ def profile_layers(
         x = x.astype(compute_dtype)
 
     # Harness overhead baseline: the devtime loop adds a sin-perturbation
-    # over the whole input and a sum over the whole output every iteration.
-    # For cheap layers that overhead dominates, so the identity cost at each
-    # input shape is measured once and subtracted.
+    # over the whole input every iteration. The baseline fn returns a
+    # rank-preserving corner slice, NOT the identity: an identity baseline
+    # also contains a full input-sized output reduction the layer fn does
+    # not pay (its reduction is over the LAYER output) — subtracting it
+    # drove small layers negative and the conv1 row to 0.0 us (round-4
+    # review; same fix as bench.harness_baseline).
     baselines: dict[tuple, float] = {}
 
     def baseline(arr) -> float:
         key = (arr.shape, str(arr.dtype))
         if key not in baselines:
-            baselines[key] = time_device_fn(lambda v: v, arr, k1=k1, k2=k2)
+            baselines[key] = time_device_fn(
+                lambda v: v[(slice(0, 1),) * v.ndim], arr, k1=k1, k2=k2)
         return baselines[key]
 
     profiles: list[LayerProfile] = []
@@ -381,8 +385,10 @@ def profile_segments(
     def baseline(arr) -> float:
         key = (arr.shape, str(arr.dtype))
         if key not in baselines:
+            # corner slice, not identity: see profile_layers' baseline
             baselines[key] = time_device_fn(
-                lambda v, *_: v, arr, *rest, k1=k1, k2=k2
+                lambda v, *_: v[(slice(0, 1),) * v.ndim], arr, *rest,
+                k1=k1, k2=k2
             )
         return baselines[key]
 
