@@ -110,10 +110,18 @@ def measure_per_step(spec, params, x, conv_impls, fc_impls, dtype, k1, k2,
             conv_impls=conv_impls, fc_impls=fc_impls, compute_dtype=dtype,
         )
 
-    if dp:
-        step = dp_wrap(step, dp)
     # reps=5: each rep is two ~30 ms fetches once compiled; the extra
     # samples damp the shared chip's run-to-run variance (~±10 %)
+    if dp:
+        # the baseline must run under the SAME sharding as the step —
+        # subtracting an unsharded baseline from a sharded loop mixes two
+        # different per-iteration harness costs (round-4 review finding)
+        step = dp_wrap(step, dp)
+        base_fn = dp_wrap(lambda v, *_: v[(slice(0, 1),) * v.ndim], dp)
+        t = time_device_fn(step, x, params, k1=k1, k2=k2, reps=5,
+                           perturb_rest=perturb)
+        tb = time_device_fn(base_fn, x, params, k1=k1, k2=k2, reps=5)
+        return max(t - tb, 1e-9)
     t = time_device_fn(step, x, params, k1=k1, k2=k2, reps=5,
                        perturb_rest=perturb)
     return max(t - harness_baseline(x, k1, k2), 1e-9)

@@ -579,3 +579,25 @@ def test_stop_completes_or_fails_everything():
     assert len(outcomes) == 32  # nothing hung past its timeout
     done_vals = [v for v in outcomes if v is not None]
     assert done_vals == sorted(done_vals)  # FIFO order preserved
+
+
+def test_pipeline_stress_no_cross_batch_corruption(rng):
+    """Race catcher for the pipelined dispatcher (the round-4 review found
+    upload-buffer aliasing could corrupt an in-flight batch): hundreds of
+    requests with unique payloads through varying batch sizes, every
+    future must resolve to ITS image's mean — any buffer-reuse race or
+    slot-accounting bug shows up as a mismatched value or a hang."""
+    import concurrent.futures as cf
+
+    eng = _echo_engine(max_batch=8, max_wait_ms=1.0)
+    n = 400
+    vals = rng.permutation(np.arange(1.0, n + 1.0)).astype(np.float32)
+    with eng:
+        with cf.ThreadPoolExecutor(4) as pool:
+            def one(v):
+                img = np.full((5, 5, 2), v, np.float32)
+                return float(eng.submit(img).result(timeout=60)[0])
+
+            got = list(pool.map(one, vals))
+    assert got == pytest.approx(list(vals))
+    assert eng.stats["requests"] == n
