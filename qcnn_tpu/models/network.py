@@ -58,7 +58,7 @@ from qcnn_tpu.ops import (
 # are the request-level vocabulary enforced by resolve_strategy.
 CONV_IMPLS = ("auto", "decode", "indecode", "indecode_ohwi", "indecode_hwoi",
               "gdecode", "gdecode_iohw", "gemm", "lut", "memory",
-              "fusedconv", "memory_fused")
+              "fusedconv", "memory_fused", "fc1x1")
 FC_IMPLS = ("auto", "onehot", "gather", "decode", "indecode", "gdecode",
             "pallas", "fused", "fgather", "lutgather", "memory")
 

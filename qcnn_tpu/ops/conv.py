@@ -28,6 +28,11 @@ from jax import lax
 
 from qcnn_tpu.ops import lut as lut_ops
 
+# memory_fused 1x1-reroute gates (tools/fc1x1_ab.py; module-level so the
+# A/B tools can toggle the rule off in-process)
+_FC1X1_MIN_RATIO = 4
+_FC1X1_MAX_ROWS = 4096
+
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
@@ -440,10 +445,55 @@ def pq_conv(
                 "pq_conv_fused: unsupported geometry (use 'memory_fused' "
                 "for the auto-fallback mix)"
             )
+        # 1x1 reroute rule (measured, tools/out/fc1x1_ab.txt): the fc
+        # fused-gather formulation wins ONLY on big-reduction geometries
+        # with a small spatial batch — 2048->512 @7x7 2.1x (89.8 vs
+        # 190.9 us); it loses on expansions (512->2048: 88.5 vs 67.4) and
+        # catastrophically at 14x14 spatial (12.5k rows: 1832 us)
+        a = params["assignments"]
+        cout = a.shape[0]
+        cin = x.shape[-1]
+        rows = x.shape[0] * ((x.shape[1] // stride) *
+                             (x.shape[2] // stride))
+        if (a.shape[1] == 1 and a.shape[2] == 1 and groups == 1
+                and pad == 0 and x.dtype == jnp.bfloat16
+                and cin >= _FC1X1_MIN_RATIO * cout
+                and rows <= _FC1X1_MAX_ROWS):
+            return pq_conv(x, params, stride=stride, pad=pad,
+                           groups=groups, impl="fc1x1",
+                           out_dtype=out_dtype)
         return pq_conv_decode(
             x, params, stride=stride, pad=pad, groups=groups,
             via="onehot_ohwi", out_dtype=out_dtype,
         )
+    if impl == "fc1x1":
+        # a 1x1 conv IS an FC over the flattened spatial batch: run the
+        # memory-mode fc fused-gather kernel (in-kernel decode + GEMM,
+        # §9c/§9d) instead of the one-hot weight decode. stride handled by
+        # pre-slicing (exact for 1x1 kernels, pad 0). Routing decision by
+        # measurement: KERNEL_STUDIES §16b round-4 addendum
+        # (tools/fc1x1_ab.py).
+        a = params["assignments"]
+        if (a.shape[1] != 1 or a.shape[2] != 1 or groups != 1
+                or pad != 0):
+            raise ValueError(
+                "fc1x1 requires an ungrouped 1x1 kernel with pad 0; got "
+                f"taps {a.shape[1]}x{a.shape[2]}, groups={groups}, "
+                f"pad={pad}"
+            )
+        from qcnn_tpu.ops.pallas import pq_fc_fused
+
+        if stride > 1:
+            x = x[:, ::stride, ::stride, :]
+        b, h, w, cin = x.shape
+        fc_p = {
+            "codebooks": params["codebooks"],
+            "assignments": jnp.asarray(a).reshape(a.shape[0], a.shape[3]),
+            "bias": params["bias"],
+        }
+        y = pq_fc_fused(x.reshape(b * h * w, cin), fc_p, decode="gather")
+        y = y.reshape(b, h, w, -1)
+        return y.astype(out_dtype) if out_dtype is not None else y
     if impl == "lut":
         return pq_conv_lut(x, params, stride=stride, pad=pad, groups=groups,
                            out_dtype=out_dtype)
