@@ -125,7 +125,8 @@ def _layer_fn(layer, p, strategy, first_fc, compute_dtype):
 
 
 # strategies whose phases live in ONE Pallas kernel — not separable
-_FUSED_STRATS = {"fused", "fgather", "pallas", "fusedconv", "memory_fused"}
+_FUSED_STRATS = {"fused", "fgather", "pallas", "fusedconv", "fc1x1",
+                 "memory_fused"}
 
 
 def _phase1_fn(layer, p, strategy, first_fc, groups):
@@ -288,24 +289,23 @@ def profile_layers(
         # phases run under perturb_rest so the weight-only computation
         # cannot hoist out of the timing loop.
         phase_label = phase1 = None
-        # 'memory_fused' is a MIX (ops/conv.py): only bf16 multi-tap
-        # stride-1 cin>=256 convs hit the inseparable fused kernel; the
-        # rest run the one-hot OHWI decode, whose decode/contract phase
-        # split must still be reported (round-4 review finding)
+        # 'memory_fused' is a MIX (ops/conv.py): resolve the route with the
+        # production predicate (memory_fused_route — one source of truth;
+        # round-4 advisor finding: a hand-replicated gate here missed the
+        # fc1x1 reroute and timed a decode phase production never runs).
+        # Fused routes (fusedconv/fc1x1) are inseparable in-kernel.
         ph_strategy = strategy
         if (strategy == "memory_fused" and isinstance(layer, ConvSpec)
                 and isinstance(p, dict) and "codebooks" in p):
-            from qcnn_tpu.ops.pallas.pq_conv_fused import supports
+            from qcnn_tpu.ops.conv import memory_fused_route
 
-            routed_fused = (
-                str(x.dtype) == "bfloat16"
-                and supports(p, stride=layer.stride,
-                             groups=getattr(layer, "groups", 1),
-                             cin=x.shape[-1])
-                and p["assignments"].shape[1] > 1
-            )
-            if not routed_fused:
+            route = memory_fused_route(
+                p, x.shape, x.dtype, stride=layer.stride, pad=layer.pad,
+                groups=getattr(layer, "groups", 1))
+            if route == "indecode_ohwi":
                 ph_strategy = "indecode_ohwi"
+            else:
+                ph_strategy = route  # fusedconv / fc1x1 -> _FUSED_STRATS
         ph = _phase1_fn(layer, p, ph_strategy, first_fc,
                         getattr(layer, "groups", 1))
         if ph is not None:

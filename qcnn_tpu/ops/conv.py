@@ -28,10 +28,53 @@ from jax import lax
 
 from qcnn_tpu.ops import lut as lut_ops
 
-# memory_fused 1x1-reroute gates (tools/fc1x1_ab.py; module-level so the
-# A/B tools can toggle the rule off in-process)
+# memory_fused 1x1-reroute gates (module-level so the A/B tools and tests
+# can toggle the rule in-process). _FC1X1_MAX_ROWS = 0 DISABLES the
+# reroute: measured round 5 (tools/out/fc1x1_ab.txt, fc1x1_probe2.txt,
+# fc1x1_e2e_ab.txt), the fc fused-gather kernel LOSES to the one-hot OHWI
+# decode at every production 1x1 geometry — reduce7 (2048->512 @7x7 b64)
+# 193 vs 89 us isolated, best-tuned variant still 135 us, and e2e
+# resnet50-b64 memory 7,548 vs 7,939 img/s with the rule off. The
+# explicit impl="fc1x1" arm remains (parity-tested, smoke-covered) for
+# geometries a caller knows to be favorable. KERNEL_STUDIES §16d.
 _FC1X1_MIN_RATIO = 4
-_FC1X1_MAX_ROWS = 4096
+_FC1X1_MAX_ROWS = 0
+
+
+def memory_fused_route(params: dict, x_shape, x_dtype, *, stride: int,
+                       pad: int, groups: int = 1) -> str:
+    """Resolve the 'memory_fused' mix for one conv geometry.
+
+    Single source of truth for pq_conv's production routing AND the
+    profiler's phase-split labeling (round-4 advisor finding: the profiler
+    replicated the gate by hand and drifted). Returns the impl the mix
+    runs: 'fusedconv' (in-kernel decode-conv, multi-tap), 'fc1x1' (the fc
+    fused-gather kernel over the flattened spatial batch — a measured
+    NEGATIVE at every production geometry, so _FC1X1_MAX_ROWS = 0 keeps
+    this branch off by default; KERNEL_STUDIES §16d), or 'indecode_ohwi'
+    (one-hot OHWI decode).
+    """
+    from qcnn_tpu.ops.pallas.pq_conv_fused import supports
+
+    b, h, w, cin = x_shape
+    if x_dtype != jnp.bfloat16:
+        # f32 callers keep the f32-exact one-hot decode (round-4 review
+        # dtype gate) — both Pallas kernels compute with bf16 activations
+        return "indecode_ohwi"
+    a_shape = params["assignments"].shape
+    multi_tap = a_shape[1] > 1
+    if multi_tap and supports(params, stride=stride, groups=groups,
+                              cin=cin):
+        return "fusedconv"
+    cout = a_shape[0]
+    # fc1x1 pre-slices x[:, ::stride] -> ceil(h/stride) rows (advisor
+    # finding: floor under-counted threshold-boundary odd geometries)
+    rows = b * (-(-h // stride)) * (-(-w // stride))
+    if (a_shape[1] == 1 and a_shape[2] == 1 and groups == 1 and pad == 0
+            and cin >= _FC1X1_MIN_RATIO * cout
+            and rows <= _FC1X1_MAX_ROWS):
+        return "fc1x1"
+    return "indecode_ohwi"
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
@@ -420,48 +463,26 @@ def pq_conv(
         from qcnn_tpu.ops.pallas import pq_conv_fused
         from qcnn_tpu.ops.pallas.pq_conv_fused import supports
 
-        cin_gate = x.shape[-1] if impl == "memory_fused" else None
-        # the mix routes MULTI-TAP convs only: 1x1 through the fused
-        # kernel measured 13.1 vs 8.0 ms e2e (resnet50 b64 memory,
-        # tools/out/fusedconv_ab3.txt) — single-tap cells are one small
-        # dot each (grid-overhead-bound) and 1x1 computed-weight
-        # relayouts were already cheap (§9f)
-        multi_tap = params["assignments"].shape[1] > 1
-        # dtype gate (mirrors fc_memory_impl's rule): the kernel computes
-        # with bf16 activations, so f32 callers — whose previous
-        # indecode_ohwi path was f32-exact — must NOT be silently
-        # quantized by the 'memory_fused' mix; explicit 'fusedconv' means
-        # the caller chose the kernel and keeps it at any dtype
-        bf16_ok = x.dtype == jnp.bfloat16 or impl == "fusedconv"
-        if (bf16_ok
-                and supports(params, stride=stride, groups=groups,
-                             cin=cin_gate)
-                and (impl == "fusedconv" or multi_tap)):
+        if impl == "fusedconv":
+            # explicit choice: the caller keeps the kernel at any dtype
+            if not supports(params, stride=stride, groups=groups):
+                raise ValueError(
+                    "pq_conv_fused: unsupported geometry (use "
+                    "'memory_fused' for the auto-fallback mix)"
+                )
             out = pq_conv_fused(x, params, stride=stride, pad=pad,
                                 groups=groups)
             return out.astype(out_dtype) if out_dtype is not None else out
-        if impl == "fusedconv":
-            raise ValueError(
-                "pq_conv_fused: unsupported geometry (use 'memory_fused' "
-                "for the auto-fallback mix)"
-            )
-        # 1x1 reroute rule (measured, tools/out/fc1x1_ab.txt): the fc
-        # fused-gather formulation wins ONLY on big-reduction geometries
-        # with a small spatial batch — 2048->512 @7x7 2.1x (89.8 vs
-        # 190.9 us); it loses on expansions (512->2048: 88.5 vs 67.4) and
-        # catastrophically at 14x14 spatial (12.5k rows: 1832 us)
-        a = params["assignments"]
-        cout = a.shape[0]
-        cin = x.shape[-1]
-        rows = x.shape[0] * ((x.shape[1] // stride) *
-                             (x.shape[2] // stride))
-        if (a.shape[1] == 1 and a.shape[2] == 1 and groups == 1
-                and pad == 0 and x.dtype == jnp.bfloat16
-                and cin >= _FC1X1_MIN_RATIO * cout
-                and rows <= _FC1X1_MAX_ROWS):
-            return pq_conv(x, params, stride=stride, pad=pad,
-                           groups=groups, impl="fc1x1",
-                           out_dtype=out_dtype)
+        # the mix (routing rules + measurements: memory_fused_route).
+        # x is already OPQ-permuted above, so the recursion must NOT see
+        # 'perm' again (round-4 advisor HIGH finding: double permutation
+        # silently corrupted OPQ convs hitting the fc1x1 gate)
+        route = memory_fused_route(params, x.shape, x.dtype, stride=stride,
+                                   pad=pad, groups=groups)
+        if route in ("fusedconv", "fc1x1"):
+            noperm = {k_: v for k_, v in params.items() if k_ != "perm"}
+            return pq_conv(x, noperm, stride=stride, pad=pad,
+                           groups=groups, impl=route, out_dtype=out_dtype)
         return pq_conv_decode(
             x, params, stride=stride, pad=pad, groups=groups,
             via="onehot_ohwi", out_dtype=out_dtype,

@@ -546,3 +546,132 @@ def test_pq_conv_memory_fused_mix(rng):
     # VMEM-aware batch tile: 56x56 grids shrink the block, 7x7 keeps it
     assert _auto_block_b(56, 56, 1, 3, 3, 8) < 8
     assert _auto_block_b(7, 7, 1, 3, 3, 8) == 8
+
+
+# ---------------------------------------------------------------------------
+# fc1x1: memory-mode 1x1 convs through the fc fused-gather kernel (round 5)
+# ---------------------------------------------------------------------------
+
+def _fc1x1_params(rng, cout, s, k=16, d=4):
+    cb = (rng.standard_normal((s, k, d)) * 0.3).astype(np.float32)
+    asmt = rng.integers(0, k, size=(cout, 1, 1, s), dtype=np.uint8)
+    return {"codebooks": jnp.asarray(cb), "assignments": jnp.asarray(asmt),
+            "bias": jnp.asarray(rng.standard_normal(cout), jnp.float32)}
+
+
+@pytest.mark.parametrize("stride,hw", [(1, 5), (2, 5), (2, 7)])
+def test_pq_conv_fc1x1_matches_decode(rng, stride, hw):
+    """impl='fc1x1' (1x1 conv as the memory-mode fc fused-gather kernel
+    over the flattened spatial batch) vs the decode oracle, including the
+    stride pre-slice arm (odd spatial dims -> ceil rows)."""
+    from qcnn_tpu.ops.conv import pq_conv
+
+    cin, cout = 64, 16  # cin >= 4*cout
+    params = _fc1x1_params(rng, cout, s=cin // 4)
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, cin)), jnp.bfloat16)
+    want = np.asarray(pq_conv(x, params, stride=stride, pad=0,
+                              impl="decode"))
+    got = np.asarray(pq_conv(x, params, stride=stride, pad=0,
+                             impl="fc1x1"))
+    assert got.shape == want.shape
+    rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+    assert rel < 2e-2, rel  # bf16 activations in-kernel (§16b precision)
+
+
+def test_pq_conv_fc1x1_rejects_bad_geometry(rng):
+    from qcnn_tpu.ops.conv import pq_conv
+
+    params = _fc1x1_params(rng, 16, s=16)
+    x = jnp.asarray(rng.standard_normal((1, 5, 5, 64)), jnp.bfloat16)
+    with pytest.raises(ValueError, match="fc1x1"):
+        pq_conv(x, params, stride=1, pad=1, impl="fc1x1")  # pad != 0
+    with pytest.raises(ValueError, match="fc1x1"):
+        pq_conv(x, params, stride=1, pad=0, groups=2, impl="fc1x1")
+    multi = _fc1x1_params(rng, 16, s=16)
+    multi["assignments"] = jnp.asarray(
+        rng.integers(0, 16, size=(16, 3, 3, 16), dtype=np.uint8))
+    with pytest.raises(ValueError, match="fc1x1"):
+        pq_conv(x, multi, stride=1, pad=0, impl="fc1x1")
+
+
+def test_memory_fused_route_gates(rng):
+    """Boundary tests for the production routing predicate shared by
+    pq_conv('memory_fused') and the profiler phase split.
+
+    The fc1x1 reroute is DISABLED in production (_FC1X1_MAX_ROWS = 0:
+    measured negative, KERNEL_STUDIES §16d) — the gate boundary logic is
+    tested with the rule toggled on, as the A/B tools do."""
+    from qcnn_tpu.ops import conv as conv_mod
+    from qcnn_tpu.ops.conv import memory_fused_route
+
+    bf16, f32 = jnp.bfloat16, jnp.float32
+    p = _fc1x1_params(rng, 64, s=64)  # 1x1, cout=64 -> needs cin >= 256
+
+    def route(shape, dtype=bf16, **kw):
+        kw.setdefault("stride", 1)
+        kw.setdefault("pad", 0)
+        return memory_fused_route(p, shape, dtype, **kw)
+
+    # production default: the reroute is OFF — every 1x1 takes the decode
+    assert conv_mod._FC1X1_MAX_ROWS == 0
+    assert route((1, 8, 8, 256)) == "indecode_ohwi"
+    try:
+        conv_mod._FC1X1_MAX_ROWS = 4096
+        # qualifying reduction: cin/cout ratio exactly at the gate
+        assert route((1, 8, 8, 256)) == "fc1x1"
+        assert route((1, 8, 8, 255)) == "indecode_ohwi"  # ratio below 4x
+        # row cap: 4096 rows pass, 4097 don't
+        assert route((64, 8, 8, 256)) == "fc1x1"
+        assert route((65, 8, 8, 256)) == "indecode_ohwi"
+        # bf16-only (both fused kernels compute with bf16 activations)
+        assert route((1, 8, 8, 256), dtype=f32) == "indecode_ohwi"
+        # pad / groups exclude the FC reformulation
+        assert route((1, 8, 8, 256), pad=1) == "indecode_ohwi"
+        assert route((1, 8, 8, 512), groups=2) == "indecode_ohwi"
+        # stride rows use the PRE-SLICE shape, ceil(h/stride): 9x9/s2 ->
+        # 5x5 rows; b=163 -> 4075 <= 4096 passes, b=164 -> 4100 rejects —
+        # the floor rule (164*16=2624) would have (wrongly) accepted
+        assert route((163, 9, 9, 256), stride=2) == "fc1x1"
+        assert route((164, 9, 9, 256), stride=2) == "indecode_ohwi"
+    finally:
+        conv_mod._FC1X1_MAX_ROWS = 0
+    # multi-tap stays on the fused conv kernel where supported,
+    # independent of the fc1x1 rule
+    pm = _fc1x1_params(rng, 64, s=64)
+    pm["assignments"] = jnp.asarray(
+        rng.integers(0, 16, size=(64, 3, 3, 64), dtype=np.uint8))
+    assert memory_fused_route(pm, (1, 8, 8, 256), bf16, stride=1,
+                              pad=1) == "fusedconv"
+
+
+def test_pq_conv_memory_fused_fc1x1_with_perm(rng):
+    """Regression for the round-4 advisor HIGH finding: an OPQ perm
+    carried into the memory_fused fc1x1 reroute was applied twice
+    (rel err 1.34). The recursion must strip 'perm' after x is permuted."""
+    from qcnn_tpu.ops import conv as conv_mod
+    from qcnn_tpu.ops.conv import pq_conv
+
+    cin, cout = 64, 16
+    params = _fc1x1_params(rng, cout, s=cin // 4)
+    params["perm"] = jnp.asarray(rng.permutation(cin).astype(np.int32))
+    x = jnp.asarray(rng.standard_normal((2, 5, 5, cin)), jnp.bfloat16)
+    want = np.asarray(pq_conv(x, params, stride=1, pad=0, impl="decode"))
+    try:
+        conv_mod._FC1X1_MAX_ROWS = 4096  # the rule is off in production
+        got = np.asarray(pq_conv(x, params, stride=1, pad=0,
+                                 impl="memory_fused"))
+    finally:
+        conv_mod._FC1X1_MAX_ROWS = 0
+    rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+    assert rel < 2e-2, rel
+    # and the multi-tap fused route with perm, same invariant
+    pm = _fc1x1_params(rng, 40, s=64)
+    pm["assignments"] = jnp.asarray(
+        rng.integers(0, 16, size=(40, 3, 3, 64), dtype=np.uint8))
+    pm["perm"] = jnp.asarray(rng.permutation(256).astype(np.int32))
+    xm = jnp.asarray(rng.standard_normal((2, 5, 5, 256)), jnp.bfloat16)
+    want = np.asarray(pq_conv(xm, pm, stride=1, pad=1, impl="decode"))
+    got = np.asarray(pq_conv(xm, pm, stride=1, pad=1,
+                             impl="memory_fused"))
+    rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+    assert rel < 2e-2, rel

@@ -57,7 +57,7 @@ def main() -> int:
         t = time_device_fn(fwd, x, prepared, k1=2, k2=8, reps=5) - bl
         print(f"{name:28s} {t*1e3:8.3f} ms   {64/t:,.0f} img/s",
               flush=True)
-    conv_mod._FC1X1_MAX_ROWS = 4096
+    conv_mod._FC1X1_MAX_ROWS = 0  # production default (rule off, §16d)
     return 0
 
 

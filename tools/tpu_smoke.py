@@ -141,6 +141,32 @@ def main() -> int:
         got_f = np.asarray(pq_conv(xa, pf3, stride=1, pad=1, impl=impl))
         ok &= check(f"pq_conv/{impl}", got_f, fused_want, 2e-2)
 
+    # fc1x1: the 1x1-as-fc fused-gather arm (round 5). The memory_fused
+    # reroute is OFF in production (measured negative, KERNEL_STUDIES
+    # §16d) — compile-check the explicit impl, and the reroute machinery
+    # with the rule toggled on as the A/B tools run it.
+    from qcnn_tpu.ops import conv as conv_mod
+    from qcnn_tpu.ops.conv import memory_fused_route
+
+    cb11 = jnp.asarray(
+        rng.standard_normal((128, 128, 4)).astype(np.float32) * 0.1)
+    a11 = jnp.asarray(
+        rng.integers(0, 128, size=(64, 1, 1, 128), dtype=np.uint8))
+    p11 = {"codebooks": cb11, "assignments": a11,
+           "bias": jnp.asarray(rng.standard_normal(64), jnp.float32)}
+    x11 = jnp.asarray(rng.standard_normal((2, 7, 7, 512)), jnp.bfloat16)
+    want11 = np.asarray(pq_conv(x11, p11, stride=1, pad=0, impl="decode"))
+    try:
+        conv_mod._FC1X1_MAX_ROWS = 4096
+        assert memory_fused_route(p11, x11.shape, x11.dtype, stride=1,
+                                  pad=0) == "fc1x1", "fc1x1 gate must trip"
+        for impl in ("fc1x1", "memory_fused"):
+            got11 = np.asarray(pq_conv(x11, p11, stride=1, pad=0,
+                                       impl=impl))
+            ok &= check(f"pq_conv/{impl}-1x1", got11, want11, 2e-2)
+    finally:
+        conv_mod._FC1X1_MAX_ROWS = 0
+
     # batch-1 fc memory arms (the serving path, §9d)
     cbf = jnp.asarray(rng.standard_normal((64, 32, 4)), jnp.float32)
     af1 = jnp.asarray(rng.integers(0, 32, size=(250, 64), dtype=np.uint8))
