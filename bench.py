@@ -50,6 +50,14 @@ def load_params():
 _BASELINES: dict = {}
 
 
+def baseline_stats(x):
+    """TimeStats of the cached harness baseline for x's (shape, dtype) —
+    emitted into the driver JSON (round-4 verdict: the subtracted point
+    estimate spread 0.030-0.249 ms across sessions, invisible to the
+    driver; the line must be self-describing on methodology)."""
+    return _BASELINES.get((tuple(x.shape), str(x.dtype)))
+
+
 def harness_baseline(x, k1: int, k2: int) -> float:
     """Per-iteration cost of the devtime loop itself at this input shape:
     the sin-perturbation over x that every iteration pays regardless of fn.
@@ -63,19 +71,22 @@ def harness_baseline(x, k1: int, k2: int) -> float:
     the whole tensor to 1-D on TPU, which measured SLOWER than the full
     AlexNet step (negative step times). The perturbation itself cannot be
     elided by the slice: it acts on the loop CARRY, not on fn's output."""
-    from qcnn_tpu.utils.devtime import time_device_fn
+    from qcnn_tpu.utils.devtime import time_device_fn_stats
 
     key = (tuple(x.shape), str(x.dtype))
     if key not in _BASELINES:
-        _BASELINES[key] = time_device_fn(
+        _BASELINES[key] = time_device_fn_stats(
             lambda v, *_: v[(slice(0, 1),) * v.ndim], x,
             k1=k1, k2=k2, reps=5)
-        log(f"harness baseline {key}: {_BASELINES[key]*1e3:.3f} ms/iter")
-    return _BASELINES[key]
+        st = _BASELINES[key]
+        log(f"harness baseline {key}: {st.median*1e3:.3f} ms/iter "
+            f"[{st.lo*1e3:.3f}, {st.hi*1e3:.3f}] x{st.reps}")
+    return _BASELINES[key].median
 
 
 def measure_per_step(spec, params, x, conv_impls, fc_impls, dtype, k1, k2,
-                     dp: int = 0, perturb: bool = False):
+                     dp: int = 0, perturb: bool = False,
+                     stats_out: dict | None = None):
     """perturb=True (--perturb-params) perturbs every float param leaf per
     loop iteration so NOTHING params-derived (e.g. the memory modes'
     in-step decode) can be hoisted out of the timing loop. Off by default:
@@ -96,7 +107,7 @@ def measure_per_step(spec, params, x, conv_impls, fc_impls, dtype, k1, k2,
     import jax.numpy as jnp
 
     from qcnn_tpu.models import network
-    from qcnn_tpu.utils.devtime import time_device_fn
+    from qcnn_tpu.utils.devtime import time_device_fn_stats
 
     if dtype is not None:
         x = jnp.asarray(x).astype(dtype)
@@ -118,13 +129,39 @@ def measure_per_step(spec, params, x, conv_impls, fc_impls, dtype, k1, k2,
         # different per-iteration harness costs (round-4 review finding)
         step = dp_wrap(step, dp)
         base_fn = dp_wrap(lambda v, *_: v[(slice(0, 1),) * v.ndim], dp)
-        t = time_device_fn(step, x, params, k1=k1, k2=k2, reps=5,
-                           perturb_rest=perturb)
-        tb = time_device_fn(base_fn, x, params, k1=k1, k2=k2, reps=5)
-        return max(t - tb, 1e-9)
-    t = time_device_fn(step, x, params, k1=k1, k2=k2, reps=5,
-                       perturb_rest=perturb)
-    return max(t - harness_baseline(x, k1, k2), 1e-9)
+        st = time_device_fn_stats(step, x, params, k1=k1, k2=k2, reps=5,
+                                  perturb_rest=perturb)
+        sb = time_device_fn_stats(base_fn, x, params, k1=k1, k2=k2, reps=5)
+        if stats_out is not None:
+            stats_out["step"] = st
+            stats_out["baseline"] = sb
+        return max(st.median - sb.median, 1e-9)
+    st = time_device_fn_stats(step, x, params, k1=k1, k2=k2, reps=5,
+                              perturb_rest=perturb)
+    bl = harness_baseline(x, k1, k2)
+    if stats_out is not None:
+        stats_out["step"] = st
+        stats_out["baseline"] = baseline_stats(x)
+    return max(st.median - bl, 1e-9)
+
+
+def method_fields(stats: dict) -> dict:
+    """Methodology fields for the driver JSON line (round-4 verdict #5):
+    the measured spread of the headline step and of the subtracted harness
+    baseline, so rounds stay comparable when either drifts. Mirrors the
+    reference's publish-all-5-runs discipline (README.md:21-30)."""
+    out = {}
+    st = stats.get("step")
+    if st is not None:
+        out["reps"] = st.reps
+        out["step_ms_spread"] = [round(st.lo * 1e3, 4),
+                                 round(st.hi * 1e3, 4)]
+    sb = stats.get("baseline")
+    if sb is not None:
+        out["harness_baseline_ms"] = round(sb.median * 1e3, 4)
+        out["harness_baseline_ms_spread"] = [round(sb.lo * 1e3, 4),
+                                             round(sb.hi * 1e3, 4)]
+    return out
 
 
 def dp_wrap(step, dp: int):
@@ -156,7 +193,7 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
                  dp: int = 0, memory: bool = False,
                  conv_impl: str = "auto", fc_impl: str = "auto",
                  pp: int = 0, microbatches: int = 0,
-                 perturb: bool = False):
+                 perturb: bool = False, stats_out: dict | None = None):
     """Throughput for the ResNet/ViT PQ families (synthetic weights —
     no pretrained checkpoints ship offline; timing is weight-agnostic).
     memory=True keeps PQ params compressed (in-step one-hot decode);
@@ -165,7 +202,18 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
     import jax.numpy as _jnp
     import numpy as np
 
-    from qcnn_tpu.utils.devtime import time_device_fn
+    from qcnn_tpu.utils.devtime import time_device_fn_stats
+
+    def timed(step, x, *rest, kk1=k1, kk2=k2, pr=perturb):
+        """Step stats minus the cached harness baseline; records both
+        into stats_out for the driver JSON methodology fields."""
+        st = time_device_fn_stats(step, x, *rest, k1=kk1, k2=kk2,
+                                  perturb_rest=pr)
+        bl = harness_baseline(x, kk1, kk2)
+        if stats_out is not None:
+            stats_out["step"] = st
+            stats_out["baseline"] = baseline_stats(x)
+        return max(st.median - bl, 1e-9)
 
     rng = np.random.default_rng(1)
     if model in ("vgg16", "vgg_cnn_s", "caffenet"):
@@ -203,9 +251,7 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
         if dp:
             step = dp_wrap(step, dp)
         x = jnp.asarray(x).astype(act_dtype)
-        t = time_device_fn(step, x, prepared, k1=k1, k2=k2,
-                           perturb_rest=perturb)
-        return max(t - harness_baseline(x, k1, k2), 1e-9), spec
+        return timed(step, x, prepared), spec
     if model.startswith("resnet"):
         from qcnn_tpu.models import resnet as fam
 
@@ -247,8 +293,7 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
             return pipe(stacked, rest, x)
 
         x = _jnp.asarray(x).astype(fam_act)
-        t = time_device_fn(step, x, stacked, rest, k1=k1, k2=k2)
-        return max(t - harness_baseline(x, k1, k2), 1e-9), spec
+        return timed(step, x, stacked, rest, pr=False), spec
 
     prepared = jax.device_put(prepared)
 
@@ -258,9 +303,7 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
     if dp:
         step = dp_wrap(step, dp)
     x = _jnp.asarray(x).astype(fam_act)
-    t = time_device_fn(step, x, prepared, k1=k1, k2=k2,
-                       perturb_rest=perturb)
-    return max(t - harness_baseline(x, k1, k2), 1e-9), spec
+    return timed(step, x, prepared), spec
 
 
 def main() -> None:
@@ -327,13 +370,14 @@ def main() -> None:
     dtype_arg = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
                  "int8": jnp.int8}[args.dtype]
     if args.model != "alexnet":
+        fam_stats: dict = {}
         try:
             per_step, spec = bench_family(
                 args.model, args.batch, dtype_arg, args.k1, args.k2,
                 dp=args.dp, pp=args.pp, microbatches=args.microbatches,
                 memory=("memory" in (args.conv_impl, args.fc_impl)),
                 conv_impl=args.conv_impl, fc_impl=args.fc_impl,
-                perturb=args.perturb_params,
+                perturb=args.perturb_params, stats_out=fam_stats,
             )
         except NotImplementedError as e:
             log(f"error: {e}")
@@ -348,6 +392,7 @@ def main() -> None:
             "batch": args.batch,
             "device": str(jax.devices()[0].platform),
             **({"dp": args.dp} if args.dp else {}),
+            **method_fields(fam_stats),
         }))
         return
     spec, params = load_params()
@@ -388,10 +433,11 @@ def main() -> None:
     import time as _time
 
     t_start = _time.perf_counter()
+    head_stats: dict = {}
     per_step = measure_per_step(
         spec_run, prepared, synth.random_input(spec, args.batch, seed=1),
         conv_impls, fc_impls, act_dtype, args.k1, args.k2, dp=args.dp,
-        perturb=args.perturb_params,
+        perturb=args.perturb_params, stats_out=head_stats,
     )
     imgs_per_sec = args.batch / per_step
     log(f"batch={args.batch}: {per_step*1e3:.3f} ms/step, "
@@ -480,6 +526,7 @@ def main() -> None:
         ),
         "device": str(jax.devices()[0].platform),
         **({"dp": args.dp} if args.dp else {}),
+        **method_fields(head_stats),
         **sweep,
     }))
 

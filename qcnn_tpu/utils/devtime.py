@@ -12,7 +12,7 @@ cancels.
 from __future__ import annotations
 
 import time
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import numpy as np
 
@@ -81,6 +81,48 @@ def _make_looped(fn: Callable, perturb_rest: bool = False):
     return jax.jit(run)
 
 
+class TimeStats(NamedTuple):
+    """Per-rep spread of one time_device_fn measurement.
+
+    The reference repeats every speed test 5x and publishes all runs
+    (/root/reference/README.md:21-30); the bench JSON carries these fields
+    so cross-round comparisons survive methodology churn (round-4 verdict:
+    the subtracted harness baseline spread ~0.03-0.25 ms across sessions,
+    invisible to the driver)."""
+
+    median: float
+    lo: float
+    hi: float
+    reps: int
+
+
+def time_device_fn_stats(
+    fn: Callable,
+    x,
+    *rest,
+    k1: int = 4,
+    k2: int = 20,
+    reps: int = 3,
+    perturb_rest: bool = False,
+) -> TimeStats:
+    """Like time_device_fn but returns the per-rep (median, min, max, reps)."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    f = _make_looped(fn, perturb_rest=perturb_rest)
+    np.asarray(f(k2, x, *rest))  # compile + warm
+    diffs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(f(k1, x, *rest))
+        t1 = time.perf_counter()
+        np.asarray(f(k2, x, *rest))
+        t2 = time.perf_counter()
+        diffs.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+    return TimeStats(float(np.median(diffs)), float(min(diffs)),
+                     float(max(diffs)), reps)
+
+
 def time_device_fn(
     fn: Callable,
     x,
@@ -97,17 +139,6 @@ def time_device_fn(
     cancels in the (k2 - k1) difference; while_loop per-iteration overhead
     (~µs) does not and floors what this can resolve.
     """
-    import jax.numpy as jnp
-
-    x = jnp.asarray(x)
-    f = _make_looped(fn, perturb_rest=perturb_rest)
-    np.asarray(f(k2, x, *rest))  # compile + warm
-    diffs = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(f(k1, x, *rest))
-        t1 = time.perf_counter()
-        np.asarray(f(k2, x, *rest))
-        t2 = time.perf_counter()
-        diffs.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
-    return float(np.median(diffs))
+    return time_device_fn_stats(
+        fn, x, *rest, k1=k1, k2=k2, reps=reps, perturb_rest=perturb_rest
+    ).median
