@@ -145,6 +145,19 @@ class BatchingEngine:
         self._compute_q: queue.Queue = queue.Queue()
         self._slots = threading.BoundedSemaphore(self._BUF_ROT)
         self._compute_thread: Optional[threading.Thread] = None
+        # parallel batch assembly (round-5; §12c named this the device-
+        # local bind): the per-image copy into the upload buffer stripes
+        # across a small pool. Batch FORMATION stays FIFO on the single
+        # dispatcher thread; only the copy fans out, and the 2-slot
+        # safety invariant is untouched (workers write disjoint rows of
+        # the slot's own buffer, joined before the upload). NumPy
+        # releases the GIL for these block copies, so the stripes run on
+        # real cores. Pool size: leave a core each for the dispatcher
+        # and compute threads.
+        import os as _os
+
+        self._asm_workers = max(1, min(8, (_os.cpu_count() or 2) - 1))
+        self._asm_pool = None  # built lazily on first striped assembly
 
     def __init__(
         self,
@@ -265,6 +278,9 @@ class BatchingEngine:
         # Requests enqueued just before stop would otherwise hang their
         # callers until the full classify() timeout.
         self._drain_stopped()
+        if self._asm_pool is not None:
+            self._asm_pool.shutdown(wait=False)
+            self._asm_pool = None
 
     def _drain_stopped(self) -> None:
         while True:
@@ -313,8 +329,14 @@ class BatchingEngine:
         )
         fut: Future = Future()
         try:
+            # cast to the UPLOAD dtype here, on the caller's thread: each
+            # HTTP/client worker pays its own request's conversion, so the
+            # cast parallelizes with client concurrency by construction
+            # and the assembly stripes copy same-dtype rows (half the
+            # bytes for bf16 engines). Numerically identical to the old
+            # f32-then-bf16 two-step: bf16(f32(v)) == bf16(v).
             self._queue.put_nowait(
-                (np.asarray(image_nhwc, np.float32), fut, expiry)
+                (np.asarray(image_nhwc, self._upload_dtype), fut, expiry)
             )
         except queue.Full:
             self.stats["rejected"] += 1
@@ -402,8 +424,32 @@ class BatchingEngine:
                 self._upload_dtype,
             )
             self._upload_bufs[key] = buf
-        for i, item in enumerate(batch):
-            buf[i] = item[0]
+        if n >= 2 * self._asm_workers > 2:
+            # striped parallel copy: worker w owns rows [lo, hi) — disjoint
+            # writes, joined below, so the slot buffer is fully written
+            # before the upload reads it
+            if self._asm_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._asm_pool = ThreadPoolExecutor(
+                    max_workers=self._asm_workers,
+                    thread_name_prefix="qcnn-asm",
+                )
+
+            def copy_rows(lo: int, hi: int) -> None:
+                for i in range(lo, hi):
+                    buf[i] = batch[i][0]
+
+            chunk = -(-n // self._asm_workers)
+            stripes = [
+                self._asm_pool.submit(copy_rows, lo, min(lo + chunk, n))
+                for lo in range(0, n, chunk)
+            ]
+            for st in stripes:
+                st.result()  # join + re-raise worker exceptions
+        else:
+            for i, item in enumerate(batch):
+                buf[i] = item[0]
         if bucket > n:
             # stale rows from a previous, fuller batch must not leak into
             # this dispatch (padding rows are sliced off the results, but
