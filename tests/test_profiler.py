@@ -70,9 +70,14 @@ def test_phase_split_fused_and_lut(rng):
     assert conv.phase_label == "lut-build"
     assert conv.phase1_seconds is not None
     fc = next(p for p in profs if p.kind == "FC")
-    assert fc.phase_label == "fused" and fc.phase1_seconds is None
+    # fused kernels are inseparable by timing; the profiler reports the
+    # §9 roofline-model estimate of the in-kernel decode phase (round-5
+    # verdict item 7) so the DispElpsTime contract stays complete
+    assert fc.phase_label == "fused-est-decode"
+    assert fc.phase1_seconds is not None
+    assert 0.0 <= fc.phase1_seconds <= fc.seconds + 1e-9
     table = format_table(profs)
-    assert "fused-kernel" in table and "lut-build=" in table
+    assert "fused[est decode=" in table and "lut-build=" in table
 
 
 def test_dense_layers_report_no_phases(rng):
