@@ -70,8 +70,14 @@ def top_ops(text: str, top: int = 200) -> list[tuple[int, str, str]]:
 
 
 def main() -> int:
+    import argparse
+
     import jax
     import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, nargs=2, default=[64, 128])
+    args = ap.parse_args()
 
     from qcnn_tpu.models import resnet
     from qcnn_tpu.utils.devtime import _make_looped, time_device_fn
@@ -86,8 +92,9 @@ def main() -> int:
     def fwd(x, p):
         return resnet.forward(p, x, spec=spec, compute_dtype=jnp.bfloat16)
 
+    b_lo, b_hi = args.batches
     texts = {}
-    for b in (64, 128):
+    for b in (b_lo, b_hi):
         x = jnp.asarray(
             rng.standard_normal((b, spec.in_size, spec.in_size, 3)),
             jnp.bfloat16)
@@ -102,30 +109,28 @@ def main() -> int:
             f.write(texts[b])
 
     cats = {b: cycles_by_category(t) for b, t in texts.items()}
-    all_cats = sorted(set(cats[64]) | set(cats[128]),
-                      key=lambda c: -cats[128].get(c, 0))
-    print("\nper-image estimated cycles by category (b64 vs b128; "
-          "ratio 1.0 = perfect batch scaling):", flush=True)
+    all_cats = sorted(set(cats[b_lo]) | set(cats[b_hi]),
+                      key=lambda c: -cats[b_hi].get(c, 0))
+    print(f"\nper-image estimated cycles by category (b{b_lo} vs b{b_hi}; ratio 1.0 = perfect batch scaling):", flush=True)
     for c in all_cats:
-        c64 = cats[64].get(c, 0) / 64
-        c128 = cats[128].get(c, 0) / 128
+        c64 = cats[b_lo].get(c, 0) / b_lo
+        c128 = cats[b_hi].get(c, 0) / b_hi
         ratio = c128 / c64 if c64 else float("inf")
         print(f"  {c:16s} {c64:12.0f} {c128:12.0f}  x{ratio:5.2f}",
               flush=True)
 
     # match top ops across programs by batch-stripped shape key
     t64 = {}
-    for cyc, key, _ in top_ops(texts[64]):
+    for cyc, key, _ in top_ops(texts[b_lo]):
         t64[key] = t64.get(key, 0) + cyc
-    print("\ntop b128 ops vs their b64 twins (per-image ratio > 1 grows "
-          "with batch):", flush=True)
+    print(f"\ntop b{b_hi} ops vs their b{b_lo} twins (per-image ratio > 1 grows with batch):", flush=True)
     agg128: dict[str, int] = {}
-    for cyc, key, _ in top_ops(texts[128]):
+    for cyc, key, _ in top_ops(texts[b_hi]):
         agg128[key] = agg128.get(key, 0) + cyc
     rows = sorted(agg128.items(), key=lambda kv: -kv[1])[:25]
     for key, cyc in rows:
-        per128 = cyc / 128
-        per64 = t64.get(key, 0) / 64
+        per128 = cyc / b_hi
+        per64 = t64.get(key, 0) / b_lo
         ratio = f"x{per128/per64:5.2f}" if per64 else "  new"
         print(f"  {per128:12.0f}/img {ratio}  {key}", flush=True)
     return 0
