@@ -581,6 +581,27 @@ def test_stop_completes_or_fails_everything():
     assert done_vals == sorted(done_vals)  # FIFO order preserved
 
 
+def test_striped_assembly_preserves_slot_contents(rng):
+    """Round-5 parallel assembly (KERNEL_STUDIES §12d): the per-image
+    copy stripes across a worker pool. Force a multi-stripe geometry —
+    big batches, several workers — regardless of the host's core count
+    and verify every future resolves to ITS image's value (a stripe
+    bounds bug or a worker writing the wrong rows would corrupt them;
+    a worker exception must propagate, not hang)."""
+    eng = _echo_engine(max_batch=64, max_wait_ms=5.0)
+    eng._asm_workers = 4  # stripes at n >= 8 regardless of host cores
+    n = 192
+    vals = rng.permutation(np.arange(1.0, n + 1.0)).astype(np.float32)
+    with eng:
+        futs = [eng.submit(np.full((5, 5, 2), v, np.float32))
+                for v in vals]
+        got = [float(f.result(timeout=60)[0]) for f in futs]
+        # the striped path really engaged (not the serial fallback)
+        assert eng._asm_pool is not None
+    assert got == pytest.approx(list(vals))
+    assert eng.stats["requests"] == n
+
+
 def test_pipeline_stress_no_cross_batch_corruption(rng):
     """Race catcher for the pipelined dispatcher (the round-4 review found
     upload-buffer aliasing could corrupt an in-flight batch): hundreds of
