@@ -125,7 +125,15 @@ class BatchingEngine:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = {"requests": 0, "batches": 0, "padded_waste": 0,
-                      "rejected": 0, "expired": 0}
+                      "rejected": 0, "expired": 0,
+                      # cumulative per-stage wall time (ms) — names the
+                      # pipeline's current bind instead of guessing
+                      # (§12d's residual question); pop/claim/assemble/
+                      # upload accrue on the dispatcher thread, forward/
+                      # resolve on the compute thread
+                      "stage_ms": {"pop": 0.0, "assemble": 0.0,
+                                   "upload": 0.0, "forward": 0.0,
+                                   "resolve": 0.0}}
         self._latencies_ms: list[float] = []  # dispatch->result, recent
         # (bucket, rotation-slot) -> buffer; see _assemble/_BUF_ROT
         self._upload_bufs: dict[tuple[int, int], np.ndarray] = {}
@@ -377,13 +385,25 @@ class BatchingEngine:
 
     def _pop_live(self, timeout: float):
         """Pop the next request whose deadline has not passed; expired ones
-        fail with DeadlineExceeded instead of wasting a batch slot."""
-        t_end = time.perf_counter() + timeout
+        fail with DeadlineExceeded instead of wasting a batch slot.
+
+        Fast path: drain with get_nowait while the queue is non-empty —
+        under load the backlog is deep, and the timed get's lock +
+        clock bookkeeping per request is measurable at 20k+ img/s."""
+        t_end = None
         while True:
-            remaining = t_end - time.perf_counter()
-            if remaining <= 0:
-                raise queue.Empty
-            item = self._queue.get(timeout=remaining)
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                if t_end is None:
+                    t_end = time.perf_counter() + timeout
+                remaining = t_end - time.perf_counter()
+                if remaining <= 0:
+                    raise
+                try:
+                    item = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    raise
             expiry = item[2]
             if expiry is not None and time.perf_counter() > expiry:
                 self.stats["expired"] += 1
@@ -468,6 +488,7 @@ class BatchingEngine:
 
     def _dispatch_loop(self) -> None:
         cfg = self.config
+        stage = self.stats["stage_ms"]
         while not self._stop.is_set():
             try:
                 first = self._pop_live(timeout=0.05)
@@ -510,7 +531,11 @@ class BatchingEngine:
                     break
             if batch is None:
                 continue
+            t_pop = time.perf_counter()
+            stage["pop"] += (t_pop - t0) * 1e3
             images, n, bucket = self._assemble(batch)
+            t_asm = time.perf_counter()
+            stage["assemble"] += (t_asm - t_pop) * 1e3
             futures = [b[1] for b in batch]
             try:
                 # the upload happens HERE, on the assembly thread, so it
@@ -523,6 +548,7 @@ class BatchingEngine:
                     if not fut.done():
                         fut.set_exception(e)
                 continue
+            stage["upload"] += (time.perf_counter() - t_asm) * 1e3
             self._compute_q.put((dev_images, futures, n, bucket))
 
     def _compute_loop(self) -> None:
@@ -534,6 +560,7 @@ class BatchingEngine:
             if item is None:
                 return
             dev_images, futures, n, bucket = item
+            stage = self.stats["stage_ms"]
             t_dispatch = time.perf_counter()
             try:
                 try:
@@ -545,8 +572,11 @@ class BatchingEngine:
                     # assembler (a leaked slot would stall the pipeline)
                     del dev_images
                     self._slots.release()
+                t_fwd = time.perf_counter()
+                stage["forward"] += (t_fwd - t_dispatch) * 1e3
                 for i, fut in enumerate(futures):
                     fut.set_result(probs[i])
+                stage["resolve"] += (time.perf_counter() - t_fwd) * 1e3
             except Exception as e:  # noqa: BLE001 - propagate to callers
                 for fut in futures:
                     if not fut.done():

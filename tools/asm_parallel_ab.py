@@ -52,10 +52,19 @@ def main() -> int:
             r = drain(eng, image, n_req)
             eng.stop()
             results.setdefault(name, []).append(r["img_per_s"])
-            log(f"round {rnd} {name}: {r['img_per_s']:.0f} img/s")
+            nb = max(eng.stats["batches"], 1)
+            stages = "  ".join(
+                f"{k}={v/nb:.2f}" for k, v in
+                eng.stats["stage_ms"].items())
+            log(f"round {rnd} {name}: {r['img_per_s']:.0f} img/s  "
+                f"[ms/batch: {stages}]")
+            results.setdefault(name + " stages", []).append(stages)
     for name, vals in results.items():
-        print(f"{name:22s} {min(vals):8.0f} - {max(vals):8.0f} img/s "
-              f"(median {sorted(vals)[len(vals)//2]:8.0f})", flush=True)
+        if name.endswith(" stages"):
+            print(f"{name:28s} {vals[-1]}", flush=True)
+        else:
+            print(f"{name:28s} {min(vals):8.0f} - {max(vals):8.0f} img/s "
+                  f"(median {sorted(vals)[len(vals)//2]:8.0f})", flush=True)
     return 0
 
 
