@@ -149,7 +149,12 @@ def method_fields(stats: dict) -> dict:
     """Methodology fields for the driver JSON line (round-4 verdict #5):
     the measured spread of the headline step and of the subtracted harness
     baseline, so rounds stay comparable when either drifts. Mirrors the
-    reference's publish-all-5-runs discipline (README.md:21-30)."""
+    reference's publish-all-5-runs discipline (README.md:21-30).
+
+    Spread bounds are RAW per-rep loop differences — deliberately
+    unclamped (a negative lo means scheduler noise exceeded the signal
+    for that rep, which is exactly what the field exists to expose);
+    only the reported `value` median is clamped."""
     out = {}
     st = stats.get("step")
     if st is not None:

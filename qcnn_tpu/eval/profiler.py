@@ -139,30 +139,44 @@ _DECODE_ELEM_PER_S = 201e9
 _MXU_EFF_FLOP_PER_S = 100e12
 
 
-def _fused_phase_estimate(layer, p, x_shape, out_shape) -> Optional[float]:
+def _fused_phase_estimate(layer, p, x_shape, out_shape,
+                          route: str) -> Optional[float]:
     """Model fraction of a fused PQ kernel's time spent in its in-kernel
     weight decode (vs the GEMM contract) — the DispElpsTime
     CompLkupTbl/EstiInPdVal split (CaffeEva.cc:297-326) estimated where
     fusion hides the boundary from direct timing.
 
-    Decode replays once per batch-tile of the kernel grid; the decoded
+    Decode replays once per batch-tile of the kernel grid, using the
+    kernels' OWN tiling logic (round-5 review finding: a hardcoded
+    ceil(B/8) understated decode severalfold on large-spatial convs
+    where _auto_block_b shrinks the tile, and fc1x1-routed convs replay
+    per pq_fc_fused's spatial-row tile, not per image). The decoded
     tile is (lane-padded) Cin x 128-of-Cout per tap. Returns the decode
     fraction in [0, 1], or None when the geometry is not modelable."""
     if not isinstance(p, dict) or "codebooks" not in p:
         return None
     a = p["assignments"]
-    if isinstance(layer, ConvSpec):
+    if isinstance(layer, ConvSpec) and route == "fusedconv":
+        from qcnn_tpu.ops.pallas.pq_conv_fused import _auto_block_b
+
         cout, kh, kw = a.shape[0], a.shape[1], a.shape[2]
         cin = x_shape[-1]
         rows = out_shape[0] * out_shape[1] * out_shape[2]
-        # pq_conv_fused: grid batch tile block_b images of Lp rows each
-        replays = max(1, -(-x_shape[0] // 8))
+        pad = getattr(layer, "pad", 0)
+        block_b = _auto_block_b(x_shape[1], x_shape[2], pad, kh, kw, 8)
+        replays = max(1, -(-x_shape[0] // max(block_b, 1)))
     else:
+        # fc kernels (fused/fgather/pallas) AND fc1x1-routed 1x1 convs:
+        # pq_fc_fused tiles the flattened row batch, block_b =
+        # min(256, ceil16(rows))
         cout, kh, kw = a.shape[0], 1, 1
-        cin = int(np.prod(x_shape[1:]))
-        rows = out_shape[0]
-        # pq_fc_fused: default block_b = min(256, ceil16(B))
-        replays = max(1, -(-x_shape[0] // 256))
+        if isinstance(layer, ConvSpec):
+            cin = x_shape[-1]
+            rows = out_shape[0] * out_shape[1] * out_shape[2]
+        else:
+            cin = int(np.prod(x_shape[1:]))
+            rows = out_shape[0]
+        replays = max(1, -(-rows // 256))
     lane = 128
     elems = (kh * kw * (-(-cin // lane) * lane)
              * (-(-cout // lane) * lane) * replays)
@@ -366,7 +380,7 @@ def profile_layers(
                 # contract rate) so the DispElpsTime contract stays
                 # complete where fusion hides the boundary
                 frac = _fused_phase_estimate(layer, p, tuple(x.shape),
-                                             tuple(y.shape))
+                                             tuple(y.shape), ph_strategy)
                 if frac is not None:
                     phase_label = "fused-est-decode"
                     phase1 = frac * max(secs, 0.0)

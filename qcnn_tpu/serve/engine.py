@@ -131,9 +131,9 @@ class BatchingEngine:
                       # (§12d's residual question); pop/claim/assemble/
                       # upload accrue on the dispatcher thread, forward/
                       # resolve on the compute thread
-                      "stage_ms": {"pop": 0.0, "assemble": 0.0,
-                                   "upload": 0.0, "forward": 0.0,
-                                   "resolve": 0.0}}
+                      "stage_ms": {"pop": 0.0, "slot_wait": 0.0,
+                                   "assemble": 0.0, "upload": 0.0,
+                                   "forward": 0.0, "resolve": 0.0}}
         self._latencies_ms: list[float] = []  # dispatch->result, recent
         # (bucket, rotation-slot) -> buffer; see _assemble/_BUF_ROT
         self._upload_bufs: dict[tuple[int, int], np.ndarray] = {}
@@ -444,27 +444,39 @@ class BatchingEngine:
                 self._upload_dtype,
             )
             self._upload_bufs[key] = buf
-        if n >= 2 * self._asm_workers > 2:
-            # striped parallel copy: worker w owns rows [lo, hi) — disjoint
-            # writes, joined below, so the slot buffer is fully written
-            # before the upload reads it
-            if self._asm_pool is None:
-                from concurrent.futures import ThreadPoolExecutor
+        # striped parallel copy: worker w owns rows [lo, hi) — disjoint
+        # writes, joined below, so the slot buffer is fully written
+        # before the upload reads it. Capture the pool ONCE and fall back
+        # to the serial copy if it is gone or shut down (round-5 review:
+        # stop() can null/shutdown the pool while a dispatcher stuck in a
+        # long upload is still alive; a post-shutdown submit would raise
+        # out of _assemble with the slot held and the batch unresolved —
+        # and lazily rebuilding after stop would leak worker threads)
+        pool = self._asm_pool
+        if (pool is None and n >= 2 * self._asm_workers > 2
+                and not self._stop.is_set()):
+            from concurrent.futures import ThreadPoolExecutor
 
-                self._asm_pool = ThreadPoolExecutor(
-                    max_workers=self._asm_workers,
-                    thread_name_prefix="qcnn-asm",
-                )
+            pool = self._asm_pool = ThreadPoolExecutor(
+                max_workers=self._asm_workers,
+                thread_name_prefix="qcnn-asm",
+            )
+        stripes = None
+        if pool is not None and n >= 2 * self._asm_workers > 2:
 
             def copy_rows(lo: int, hi: int) -> None:
                 for i in range(lo, hi):
                     buf[i] = batch[i][0]
 
             chunk = -(-n // self._asm_workers)
-            stripes = [
-                self._asm_pool.submit(copy_rows, lo, min(lo + chunk, n))
-                for lo in range(0, n, chunk)
-            ]
+            try:
+                stripes = [
+                    pool.submit(copy_rows, lo, min(lo + chunk, n))
+                    for lo in range(0, n, chunk)
+                ]
+            except RuntimeError:  # pool shut down mid-batch: go serial
+                stripes = None
+        if stripes is not None:
             for st in stripes:
                 st.result()  # join + re-raise worker exceptions
         else:
@@ -516,6 +528,8 @@ class BatchingEngine:
             batch = [b for b in batch if b[1].set_running_or_notify_cancel()]
             if not batch:
                 continue
+            t_claim = time.perf_counter()
+            stage["pop"] += (t_claim - t0) * 1e3
             # abortable slot acquire (the pipeline-depth bound; released
             # by the compute stage after the forward): a wedged compute
             # stage — e.g. a first forward still compiling, minutes on
@@ -529,10 +543,14 @@ class BatchingEngine:
                             fut.set_exception(RuntimeError("engine stopped"))
                     batch = None
                     break
+            t_pop = time.perf_counter()
+            # the back-pressure wait is its OWN stage (round-5 review:
+            # folding it into 'pop' mis-named the bind whenever compute
+            # was the bottleneck — e.g. a first forward compiling for
+            # minutes accrued under pop while 'forward' stayed ~0)
+            stage["slot_wait"] += (t_pop - t_claim) * 1e3
             if batch is None:
                 continue
-            t_pop = time.perf_counter()
-            stage["pop"] += (t_pop - t0) * 1e3
             images, n, bucket = self._assemble(batch)
             t_asm = time.perf_counter()
             stage["assemble"] += (t_asm - t_pop) * 1e3

@@ -111,7 +111,8 @@ def main() -> int:
     cats = {b: cycles_by_category(t) for b, t in texts.items()}
     all_cats = sorted(set(cats[b_lo]) | set(cats[b_hi]),
                       key=lambda c: -cats[b_hi].get(c, 0))
-    print(f"\nper-image estimated cycles by category (b{b_lo} vs b{b_hi}; ratio 1.0 = perfect batch scaling):", flush=True)
+    print(f"\nper-image estimated cycles by category (b{b_lo} vs "
+          f"b{b_hi}; ratio 1.0 = perfect batch scaling):", flush=True)
     for c in all_cats:
         c64 = cats[b_lo].get(c, 0) / b_lo
         c128 = cats[b_hi].get(c, 0) / b_hi
@@ -123,7 +124,8 @@ def main() -> int:
     t64 = {}
     for cyc, key, _ in top_ops(texts[b_lo]):
         t64[key] = t64.get(key, 0) + cyc
-    print(f"\ntop b{b_hi} ops vs their b{b_lo} twins (per-image ratio > 1 grows with batch):", flush=True)
+    print(f"\ntop b{b_hi} ops vs their b{b_lo} twins (per-image "
+          f"ratio > 1 grows with batch):", flush=True)
     agg128: dict[str, int] = {}
     for cyc, key, _ in top_ops(texts[b_hi]):
         agg128[key] = agg128.get(key, 0) + cyc
