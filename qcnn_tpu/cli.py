@@ -38,6 +38,12 @@ def _impl_kwargs(args) -> dict:
         kw.update(conv_impl="memory", fc_impl="memory")
     if getattr(args, "dtype", None):
         kw["compute_dtype"] = _dtype_arg(args.dtype)
+    # memory-mode strategies resolve per batch (models/common.py): eval
+    # runs batched, so the hint must be the eval batch, not 1 (round-5
+    # review: the batch-1 lutgather kernel — linear in B — was baked
+    # into every 64-image batch)
+    if getattr(args, "batch", None):
+        kw["batch_hint"] = args.batch
     return kw
 
 
@@ -59,6 +65,15 @@ def _family_kwargs(args) -> dict:
 def cmd_classify(args) -> int:
     from qcnn_tpu.eval.harness import Classifier, FamilyClassifier
 
+    paths = []
+    for pattern in args.images:
+        matched = sorted(glob.glob(pattern))
+        paths.extend(matched if matched else [pattern])
+    # classify runs ONE batch over the expanded image list: resolve
+    # memory-mode strategies for that exact batch (a single image keeps
+    # the batch-1 lutgather latency kernel; many images get the batched
+    # fgather winner — models/common.py)
+    ik = dict(_impl_kwargs(args), batch_hint=max(1, len(paths)))
     if args.checkpoint:
         with open(os.path.join(args.checkpoint, "manifest.json")) as f:
             manifest = json.load(f)
@@ -67,9 +82,7 @@ def cmd_classify(args) -> int:
                 args.checkpoint, **_family_kwargs(args)
             )
         else:
-            clf = Classifier.from_checkpoint(
-                args.checkpoint, **_impl_kwargs(args)
-            )
+            clf = Classifier.from_checkpoint(args.checkpoint, **ik)
     else:
         clf = Classifier.from_reference(
             args.model,
@@ -80,16 +93,12 @@ def cmd_classify(args) -> int:
             image_labels_path=os.path.join(
                 args.reference_dir, "Cls.Names", "image_labels.txt"
             ),
-            **_impl_kwargs(args),
+            **ik,
         )
     if getattr(clf, "load_result", None) and clf.load_result.synthesized_layers:
         log(f"[WARN] layers {clf.load_result.synthesized_layers} use "
             "synthesized assignments (upstream blob missing); predictions "
             "from those layers are not meaningful")
-    paths = []
-    for pattern in args.images:
-        matched = sorted(glob.glob(pattern))
-        paths.extend(matched if matched else [pattern])
     correct = 0
     judged = 0
     # One batched forward over all images (threaded native preprocessing);

@@ -134,6 +134,17 @@ class ModelSpec:
             elif isinstance(layer, PoolSpec):
                 oh = -(-(h + 2 * layer.pad - layer.kernel) // layer.stride) + 1
                 ow = -(-(w + 2 * layer.pad - layer.kernel) // layer.stride) + 1
+                if layer.pad:
+                    # Caffe's clamp (pooling_layer.cpp, mirrored by
+                    # ops/misc.caffe_max_pool): drop a trailing output
+                    # whose window lies entirely in padding — without
+                    # this, predicted shapes diverge from executed ones
+                    # for ceil-mode pools with pad > 0 and the first-FC
+                    # weight is sized against the wrong flatten width
+                    if (oh - 1) * layer.stride >= h + layer.pad:
+                        oh -= 1
+                    if (ow - 1) * layer.stride >= w + layer.pad:
+                        ow -= 1
                 shapes.append((b, oh, ow, c))
             elif isinstance(layer, FCSpec):
                 shapes.append((b, 1, 1, layer.out_features))

@@ -127,6 +127,7 @@ class Classifier(_ClassifierBase):
         fc_impl: str = "auto",
         compute_dtype=None,
         act_scales: Optional[dict] = None,
+        batch_hint: int = 64,
     ) -> None:
         import jax
 
@@ -150,11 +151,15 @@ class Classifier(_ClassifierBase):
         act_dtype = act_dtype_for(compute_dtype)
         # Prepare once (decode-at-load): at batch 1 the auto onehot FC path
         # materializes GB-scale one-hot intermediates and is never the right
-        # default for serving.
+        # default for serving. batch_hint defaults to the evaluate_dataset
+        # batch size so memory-mode strategies resolve for BATCHED use
+        # (round-5 review: the implicit hint of 1 picked the batch-1
+        # lutgather kernel — linear in B — and baked it into every
+        # 64-image eval batch); pass batch_hint=1 for latency-shaped use.
         prepared, conv_impls, fc_impls = prepare_params(
             spec, params,
             conv_impl=conv_impl, fc_impl=fc_impl, dtype=compute_dtype,
-            act_scales=act_scales,
+            act_scales=act_scales, batch_hint=batch_hint,
         )
         self.params = jax.device_put(prepared)
         self._fwd = make_forward_fn(
@@ -332,9 +337,12 @@ def evaluate_dataset(
             n += xb.shape[0]
     acc = {k: hits[k] / max(n, 1) for k in ks}
     report = timers.report()
+    # empty dataset (e.g. a --limit that truncates to zero rows): report
+    # zero images cleanly instead of KeyError on the never-started timer
+    fwd = report.get("forward", {"total_s": 0.0})
     return {
         "accuracy": acc,
         "images": n,
-        "forward_s": report["forward"]["total_s"],
-        "images_per_s": n / report["forward"]["total_s"],
+        "forward_s": fwd["total_s"],
+        "images_per_s": n / fwd["total_s"] if fwd["total_s"] else 0.0,
     }

@@ -54,15 +54,18 @@ class LayerProfile:
         return max(self.seconds - self.phase1_seconds, 0.0)
 
 
-def _layer_fn(layer, p, strategy, first_fc, compute_dtype):
-    """A standalone (x -> y) function for one layer, mirroring
-    network.forward's dispatch."""
+def _layer_fn(layer, strategy, first_fc, compute_dtype):
+    """A standalone ((x, p) -> y) function for one layer, mirroring
+    network.forward's dispatch. Params ride as an ARGUMENT, never a
+    closure — a closed-over weight becomes a jit constant, and constants
+    >200 MB fail the tunneled remote compile with HTTP 413 (CLAUDE.md;
+    round-5 review: vgg16's fc6 at f32 is 411 MB)."""
     from qcnn_tpu.ops import (
         caffe_max_pool, conv_dense, dropout_inference, fc_dense, lrn,
         pq_conv, pq_fc, relu, softmax,
     )
 
-    def fn(x):
+    def fn(x, p):
         if isinstance(layer, ConvSpec):
             if strategy == "dense":
                 if "kernel_q" in p:  # int8-prepared (network.py dispatch)
@@ -339,9 +342,9 @@ def profile_layers(
         first_fc = isinstance(layer, FCSpec) and first_fc_pending
         if first_fc:
             first_fc_pending = False
-        fn = _layer_fn(layer, p, strategy, first_fc, compute_dtype)
-        secs = time_device_fn(fn, x, k1=k1, k2=k2) - baseline(x)
-        y = jax.jit(fn)(x)
+        fn = _layer_fn(layer, strategy, first_fc, compute_dtype)
+        secs = time_device_fn(fn, x, p, k1=k1, k2=k2) - baseline(x)
+        y = jax.jit(fn)(x, p)
         # PQ phase split (the DispElpsTime LUT-build/gather contract): time
         # phase 1 (decode or LUT build) as its own device program; decode
         # phases run under perturb_rest so the weight-only computation

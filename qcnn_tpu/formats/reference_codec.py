@@ -277,4 +277,14 @@ def convert_asmt(src: str | os.PathLike, dst: str | os.PathLike) -> None:
     if dst.endswith(".cbn"):
         write_cbn(dst, vals)
     else:
+        if vals.max(initial=0) >= 255:
+            # the 1-based .bin format stores uint8: index 255 would wrap
+            # to 0 under +1 (silently corrupt; round-5 review). The
+            # reference's own loader has the same uint8 ceiling
+            # (CaffePara.cc:267-288), so this is a format limit, not ours.
+            raise ValueError(
+                f"{src}: codeword index {int(vals.max())} cannot be "
+                "stored 1-based in the uint8 .bin format (K must be "
+                "<= 255 for raw encoding; keep .cbn)"
+            )
         write_bin(dst, vals + 1)

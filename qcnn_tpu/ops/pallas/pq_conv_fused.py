@@ -203,6 +203,10 @@ def supports(params: dict, *, stride: int, groups: int,
         stride == 1
         and groups == 1
         and kh == kw
+        and kh > 1  # single-tap (1x1) is grid-overhead-bound: measured
+                    # 1.6x WORSE e2e (§16b) — the docstring and the
+                    # explicit-impl error message always promised kh>1;
+                    # round-5 review found the gate didn't enforce it
         and k <= _LANES
         and _LANES % d == 0
         and _LANES // d >= 32  # int8 assignment tile sublane minimum

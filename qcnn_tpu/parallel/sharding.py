@@ -123,11 +123,21 @@ def make_sharded_forward(
     fc_impl: str = "auto",
     fc_mode: str = "column",
     with_softmax: bool = True,
+    conv_impls=None,
+    fc_impls=None,
+    compute_dtype=None,
 ):
     """Jitted forward with batch sharded on `data` and FC tensors on `model`.
 
     The returned fn takes (sharded_params, x) and yields fully-replicated
     probabilities (GSPMD inserts the final all-gather/psum).
+
+    conv_impls/fc_impls/compute_dtype: per-layer resolved strategies and
+    the activation dtype from prepare_params — callers that prepared
+    params MUST pass these or the forward silently re-resolves 'auto'
+    against params the preparation already specialized (round-5 review
+    finding: mesh engines lost their memory-mode strategies and bf16
+    activation casting this way).
     """
 
     def fwd(params, x):
@@ -138,6 +148,9 @@ def make_sharded_forward(
             spec=spec,
             conv_impl=conv_impl,
             fc_impl=fc_impl,
+            conv_impls=conv_impls,
+            fc_impls=fc_impls,
+            compute_dtype=compute_dtype,
             with_softmax=with_softmax,
         )
         return jax.lax.with_sharding_constraint(

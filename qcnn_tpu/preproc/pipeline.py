@@ -197,8 +197,11 @@ class Preprocessor:
 
     def process_blobs(self, blobs, require: bool = False):
         """Image byte blobs -> (N, crop_h, crop_w, 3): the C++ pipeline for
-        all-BMP batches, the NumPy(+PIL) path otherwise; None when the
-        native library is unavailable (caller falls back)."""
+        all-BMP batches, the NumPy(+PIL) path otherwise. Native
+        unavailable: require=True returns None (caller reports), else the
+        NumPy fallback runs here — the same contract as
+        TorchPreprocessor.process_blobs (round-5 review: the flag was
+        accepted but ignored, silently diverging from the sibling API)."""
         from qcnn_tpu.preproc.bmp import decode_image
 
         if any(b[:2] != b"BM" for b in blobs):
@@ -206,7 +209,9 @@ class Preprocessor:
         from qcnn_tpu.preproc import native as native_mod
 
         if not native_mod.available():
-            return None
+            if require:
+                return None
+            return np.stack([self(decode_image(b)) for b in blobs])
         out, failures = native_mod.preproc_batch(
             blobs,
             full_h=self.full_h, full_w=self.full_w,

@@ -87,7 +87,7 @@ class BatchingEngine:
         params,
         input_shape: tuple[int, int, int],
         *,
-        config: EngineConfig = EngineConfig(),
+        config: Optional[EngineConfig] = None,
         mesh=None,
         upload_dtype=None,
     ) -> "BatchingEngine":
@@ -103,6 +103,10 @@ class BatchingEngine:
 
         self = cls.__new__(cls)
         self.spec = _ShapeOnlySpec(*input_shape)
+        # default built per call: a shared module-level EngineConfig()
+        # default is one mutable object across every engine (round-5
+        # review — the classic mutable-default pitfall)
+        config = config if config is not None else EngineConfig()
         self.config = config
         self._buckets = config.bucket_ladder()
         self._upload_dtype = (
@@ -172,7 +176,7 @@ class BatchingEngine:
         spec,
         params: Sequence[Optional[dict]],
         *,
-        config: EngineConfig = EngineConfig(),
+        config: Optional[EngineConfig] = None,
         mesh=None,
         compute_dtype=None,
         act_scales: Optional[dict] = None,
@@ -186,6 +190,7 @@ class BatchingEngine:
         from qcnn_tpu.models.prepare import prepare_params
 
         self.spec = spec
+        config = config if config is not None else EngineConfig()
         self.config = config
         self._buckets = config.bucket_ladder()
         if compute_dtype is None:
@@ -217,8 +222,14 @@ class BatchingEngine:
             from qcnn_tpu.parallel.sharding import make_sharded_forward
 
             self.params = shard_params(spec, prepared, mesh)
+            # pass the RESOLVED strategies + activation dtype (round-5
+            # review: omitting them silently re-resolved 'auto' against
+            # memory-prepared params — the jnp.take_along_axis decode
+            # path, ~300x off roofline — and lost bf16 activation casts)
             self._fwd = make_sharded_forward(
-                spec, mesh, with_softmax=config.with_softmax
+                spec, mesh, with_softmax=config.with_softmax,
+                conv_impls=conv_impls, fc_impls=fc_impls,
+                compute_dtype=act_dtype,
             )
         else:
             self.params = jax.device_put(prepared)
@@ -286,6 +297,21 @@ class BatchingEngine:
         # Requests enqueued just before stop would otherwise hang their
         # callers until the full classify() timeout.
         self._drain_stopped()
+        # final sweep: a dispatcher that survived its join timeout (e.g.
+        # stuck in a slow tunnel upload) may have enqueued one more batch
+        # after the compute-queue drain above — fail it rather than
+        # orphan it (the dispatcher also checks compute-thread liveness
+        # before putting; together these close the stop() race)
+        while True:
+            try:
+                item = self._compute_q.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                continue
+            for fut in item[1]:
+                if not fut.done():
+                    fut.set_exception(RuntimeError("engine stopped"))
         if self._asm_pool is not None:
             self._asm_pool.shutdown(wait=False)
             self._asm_pool = None
@@ -567,6 +593,18 @@ class BatchingEngine:
                         fut.set_exception(e)
                 continue
             stage["upload"] += (time.perf_counter() - t_asm) * 1e3
+            if (self._stop.is_set()
+                    and self._compute_thread is not None
+                    and not self._compute_thread.is_alive()):
+                # stop() already joined/drained the compute stage while we
+                # were stuck in a slow upload (round-5 review): putting
+                # now would orphan the batch in a queue nobody reads and
+                # hang each caller for its full classify() timeout
+                self._slots.release()
+                for fut in futures:
+                    if not fut.done():
+                        fut.set_exception(RuntimeError("engine stopped"))
+                continue
             self._compute_q.put((dev_images, futures, n, bucket))
 
     def _compute_loop(self) -> None:

@@ -147,6 +147,22 @@ class TestRoundTrip:
         np.testing.assert_array_equal(read_cbn(back), read_cbn(src))
         np.testing.assert_array_equal(read_asmt(raw), read_cbn(src))
 
+    def test_convert_asmt_rejects_k256_to_bin(self, tmp_path):
+        """Round-5 review regression: index 255 stored 1-based in uint8
+        would wrap to 0 (silent corruption) — the raw encoding's format
+        ceiling must be an error, not a wrap."""
+        from qcnn_tpu.formats.reference_codec import write_cbn
+
+        src = tmp_path / "k256.cbn"
+        vals = np.array([0, 17, 255], np.uint8).reshape(3, 1)
+        write_cbn(src, vals)
+        with pytest.raises(ValueError, match="uint8 .bin"):
+            convert_asmt(src, tmp_path / "k256.bin")
+        # .cbn -> .cbn stays legal at K=256
+        convert_asmt(src, tmp_path / "copy.cbn")
+        np.testing.assert_array_equal(
+            read_cbn(tmp_path / "copy.cbn"), vals)
+
 
 class TestNativeCodecParity:
     def test_native_matches_numpy(self, rng):

@@ -78,6 +78,27 @@ class TestShapes:
         # all spatial sizes must stay positive through the stack
         assert all(h > 0 and w > 0 for _, h, w, _ in shapes)
 
+    def test_padded_ceil_pool_shape_matches_executed(self):
+        """Round-5 review regression: feature_shapes used the raw ceil
+        rule without Caffe's trailing-window clamp (pooling_layer.cpp,
+        mirrored in ops/misc.caffe_max_pool), so predicted shapes
+        diverged from executed ones for ceil pools with pad > 0 and the
+        first-FC weight was sized against the wrong flatten width."""
+        import jax.numpy as jnp
+
+        from qcnn_tpu.core import ModelSpec, PoolSpec
+        from qcnn_tpu.ops import caffe_max_pool
+
+        spec = ModelSpec(
+            name="padpool", in_height=5, in_width=5, in_channels=3,
+            layers=(PoolSpec(kernel=2, stride=2, pad=1),),
+        )
+        predicted = spec.feature_shapes(batch=1)[-1]
+        executed = caffe_max_pool(
+            jnp.zeros((1, 5, 5, 3)), kernel=2, stride=2, pad=1
+        ).shape
+        assert predicted == executed
+
     def test_vgg16_known_shapes(self):
         shapes = vgg16().feature_shapes(batch=1)
         # after the five 2x2 pools: 224 -> 112 -> 56 -> 28 -> 14 -> 7

@@ -171,6 +171,45 @@ def test_engine_on_mesh(tiny_spec, rng):
         eng.stop()
 
 
+def test_mesh_engine_passes_resolved_strategies(tiny_spec, rng,
+                                                monkeypatch):
+    """Round-5 review regression: the mesh path used to drop the
+    prepare_params-resolved strategies and compute dtype, silently
+    re-resolving 'auto' against memory-prepared params (the
+    take_along_axis decode path) and losing bf16 activation casts."""
+    import jax
+    import jax.numpy as jnp
+
+    import qcnn_tpu.models.network as network_mod
+    from qcnn_tpu.parallel.mesh import make_mesh
+
+    captured = {}
+    real = network_mod.forward
+
+    def spy(params, x, **kw):
+        captured.update(kw)
+        return real(params, x, **kw)
+
+    monkeypatch.setattr(network_mod, "forward", spy)
+    params = synth.random_pq_params(tiny_spec, seed=1)
+    mesh = make_mesh(jax.devices(), dp=4, tp=2)
+    eng = BatchingEngine(
+        tiny_spec, params,
+        config=EngineConfig(max_batch=8, max_wait_ms=5.0),
+        mesh=mesh, conv_impl="memory", fc_impl="memory",
+        compute_dtype=jnp.bfloat16,
+    ).start()
+    try:
+        fut = eng.submit(rng.standard_normal((11, 11, 4)).astype(np.float32))
+        fut.result(timeout=120)
+    finally:
+        eng.stop()
+    assert captured.get("conv_impls") is not None
+    assert captured.get("fc_impls") is not None
+    assert all(ci != "auto" for ci in captured["conv_impls"] if ci)
+    assert captured.get("compute_dtype") == jnp.bfloat16
+
+
 def test_engine_from_forward_resnet(rng):
     """Engine over the ResNet family via the generic forward constructor."""
     import functools
