@@ -343,6 +343,12 @@ def profile_layers(
         if first_fc:
             first_fc_pending = False
         fn = _layer_fn(layer, strategy, first_fc, compute_dtype)
+        # params ride as jit ARGUMENTS (not closure constants — the 413
+        # rule), but must be DEVICE-resident first: host-numpy args are
+        # re-uploaded on every call, and a 205 MB fc weight through the
+        # tunnel swamps the measurement (no-op for already-device trees)
+        if p is not None:
+            p = jax.device_put(p)
         secs = time_device_fn(fn, x, p, k1=k1, k2=k2) - baseline(x)
         y = jax.jit(fn)(x, p)
         # PQ phase split (the DispElpsTime LUT-build/gather contract): time

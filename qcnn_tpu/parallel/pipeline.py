@@ -169,12 +169,20 @@ def pipeline_vit_forward(
         if compute_dtype is not None:
             x = x.astype(compute_dtype)
         b = x.shape[0]
-        if b % m != 0:
-            raise ValueError(f"batch {b} % microbatches {m} != 0")
+        # pad the batch up to a microbatch multiple (static under jit:
+        # bucket shapes are fixed). Round-5 fix: the old hard error made
+        # a PP-served engine FAIL every batch whose size wasn't a
+        # multiple of m — e.g. the bucket-1 dispatch of a lone
+        # low-traffic request (tests/test_pipeline.py engine test).
+        pad = (-b) % m
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad, *x.shape[1:]), x.dtype)])
+        bp = b + pad
         h = vit_mod._run_embed(x, rest, spec, cast)
-        x_mb = h.reshape(m, b // m, *h.shape[1:])
+        x_mb = h.reshape(m, bp // m, *h.shape[1:])
         outs = sharded(stacked_blocks, x_mb)
-        h = outs.reshape(b, *outs.shape[2:])
-        return vit_mod._run_head(h, rest, with_softmax)
+        h = outs.reshape(bp, *outs.shape[2:])
+        return vit_mod._run_head(h, rest, with_softmax)[:b]
 
     return fn

@@ -46,6 +46,27 @@ def test_pipeline_matches_single_device(spec, params, stages, microbatches):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("b", [1, 3])
+def test_pipeline_pads_ragged_batches(spec, params, b):
+    """Round-5 fix: batches that are not a microbatch multiple (the
+    engine's bucket-1 dispatch of a lone request) pad statically and
+    slice back, instead of raising and failing the request."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(
+        rng.standard_normal((b, spec.image_size, spec.image_size, 3)),
+        jnp.float32,
+    )
+    want = np.asarray(vit.forward(params, x, spec=spec, with_softmax=True))
+    mesh = make_pipeline_mesh(jax.devices()[:2])
+    stacked, rest = stack_vit_blocks(spec, params)
+    stacked, rest = place_pipeline_params(mesh, stacked, rest)
+    fn = pipeline_vit_forward(mesh, spec, microbatches=2,
+                              with_softmax=True)
+    got = np.asarray(fn(stacked, rest, x))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
 def test_pipeline_validates_divisibility(spec, params):
     mesh = make_pipeline_mesh(jax.devices()[:3])
     with pytest.raises(ValueError, match="not divisible"):
