@@ -209,15 +209,26 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
 
     from qcnn_tpu.utils.devtime import time_device_fn_stats
 
-    def timed(step, x, *rest, kk1=k1, kk2=k2, pr=perturb):
-        """Step stats minus the cached harness baseline; records both
-        into stats_out for the driver JSON methodology fields."""
+    def timed(step, x, *rest, kk1=k1, kk2=k2, pr=perturb, base_fn=None):
+        """Step stats minus the harness baseline; records both into
+        stats_out for the driver JSON methodology fields. base_fn: a
+        baseline wrapped with the SAME sharding as the step — subtracting
+        an unsharded baseline from a sharded loop mixes two different
+        per-iteration harness costs (the round-4 dp review finding;
+        round-5 review found this family path had missed that fix).
+        reps=5 matches measure_per_step's shared-chip discipline."""
         st = time_device_fn_stats(step, x, *rest, k1=kk1, k2=kk2,
-                                  perturb_rest=pr)
-        bl = harness_baseline(x, kk1, kk2)
+                                  reps=5, perturb_rest=pr)
+        if base_fn is not None:
+            sb = time_device_fn_stats(base_fn, x, *rest, k1=kk1, k2=kk2,
+                                      reps=5)
+            bl = sb.median
+        else:
+            bl = harness_baseline(x, kk1, kk2)
+            sb = baseline_stats(x)
         if stats_out is not None:
             stats_out["step"] = st
-            stats_out["baseline"] = baseline_stats(x)
+            stats_out["baseline"] = sb
         return max(st.median - bl, 1e-9)
 
     rng = np.random.default_rng(1)
@@ -234,9 +245,24 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
 
         spec = zoo.get_model(model)
         pq = synth.random_pq_params(spec, seed=0)
+        scales = None
+        if dtype in (jnp.int8, "int8"):
+            # static calibrated activation scales, exactly as the alexnet
+            # int8 path (round-5 review: without them this measured the
+            # DYNAMIC per-layer-amax dataflow — a different, slower
+            # program than the same flag produces for alexnet)
+            from qcnn_tpu.models.calibrate import calibrate_act_scales
+
+            pb, cb, fb = prepare_params(spec, pq, batch_hint=batch,
+                                        dtype=jnp.bfloat16)
+            scales = calibrate_act_scales(
+                spec, jax.device_put(pb),
+                synth.random_input(spec, 32, seed=3),
+                conv_impls=cb, fc_impls=fb,
+            )
         prepared, ci, fi = prepare_params(
             spec, pq, batch_hint=batch, dtype=dtype,
-            conv_impl=conv_impl, fc_impl=fc_impl,
+            conv_impl=conv_impl, fc_impl=fc_impl, act_scales=scales,
         )
         prepared = jax.device_put(prepared)
         x = rng.standard_normal(
@@ -253,10 +279,12 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
                 compute_dtype=act_dtype,
             )
 
+        base_fn = None
         if dp:
             step = dp_wrap(step, dp)
+            base_fn = dp_wrap(lambda v, *_: v[(slice(0, 1),) * v.ndim], dp)
         x = jnp.asarray(x).astype(act_dtype)
-        return timed(step, x, prepared), spec
+        return timed(step, x, prepared, base_fn=base_fn), spec
     if model.startswith("resnet"):
         from qcnn_tpu.models import resnet as fam
 
@@ -305,10 +333,12 @@ def bench_family(model: str, batch: int, dtype, k1: int, k2: int,
     def step(x, params):
         return fam.forward(params, x, spec=spec, compute_dtype=fam_act)
 
+    base_fn = None
     if dp:
         step = dp_wrap(step, dp)
+        base_fn = dp_wrap(lambda v, *_: v[(slice(0, 1),) * v.ndim], dp)
     x = _jnp.asarray(x).astype(fam_act)
-    return timed(step, x, prepared), spec
+    return timed(step, x, prepared, base_fn=base_fn), spec
 
 
 def main() -> None:
@@ -395,8 +425,14 @@ def main() -> None:
             "unit": "img/s",
             "vs_baseline": None,
             "batch": args.batch,
+            "dtype": args.dtype,
             "device": str(jax.devices()[0].platform),
             **({"dp": args.dp} if args.dp else {}),
+            **({"pp": args.pp} if args.pp else {}),
+            **({"conv_impl": args.conv_impl}
+               if args.conv_impl != "auto" else {}),
+            **({"fc_impl": args.fc_impl}
+               if args.fc_impl != "auto" else {}),
             **method_fields(fam_stats),
         }))
         return
@@ -509,6 +545,10 @@ def main() -> None:
                 t = measure_per_step(
                     spec_s, jax.device_put(prep_s), x_sweep, ci_s, fi_s,
                     act_dtype_s, args.k1, args.k2,
+                    # the hoisting audit must cover the sweep arms too —
+                    # the memory modes' in-step decode is exactly what
+                    # the flag exists to audit (round-5 review)
+                    perturb=args.perturb_params,
                 )
                 sweep[name] = round(args.batch / t, 2)
                 log(f"sweep {name}: {args.batch / t:.1f} img/s")
@@ -529,8 +569,13 @@ def main() -> None:
         "ms_per_image_batch1": (
             round(per_step1 * 1e3, 4) if per_step1 is not None else None
         ),
+        "dtype": args.dtype,
         "device": str(jax.devices()[0].platform),
         **({"dp": args.dp} if args.dp else {}),
+        **({"conv_impl": args.conv_impl}
+           if args.conv_impl != "auto" else {}),
+        **({"fc_impl": args.fc_impl}
+           if args.fc_impl != "auto" else {}),
         **method_fields(head_stats),
         **sweep,
     }))

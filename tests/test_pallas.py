@@ -615,6 +615,7 @@ def test_memory_fused_route_gates(rng):
     # production default: the reroute is OFF — every 1x1 takes the decode
     assert conv_mod._FC1X1_MAX_ROWS == 0
     assert route((1, 8, 8, 256)) == "indecode_ohwi"
+    saved = conv_mod._FC1X1_MAX_ROWS
     try:
         conv_mod._FC1X1_MAX_ROWS = 4096
         # qualifying reduction: cin/cout ratio exactly at the gate
@@ -634,7 +635,7 @@ def test_memory_fused_route_gates(rng):
         assert route((163, 9, 9, 256), stride=2) == "fc1x1"
         assert route((164, 9, 9, 256), stride=2) == "indecode_ohwi"
     finally:
-        conv_mod._FC1X1_MAX_ROWS = 0
+        conv_mod._FC1X1_MAX_ROWS = saved
     # multi-tap stays on the fused conv kernel where supported,
     # independent of the fc1x1 rule
     pm = _fc1x1_params(rng, 64, s=64)
@@ -656,12 +657,13 @@ def test_pq_conv_memory_fused_fc1x1_with_perm(rng):
     params["perm"] = jnp.asarray(rng.permutation(cin).astype(np.int32))
     x = jnp.asarray(rng.standard_normal((2, 5, 5, cin)), jnp.bfloat16)
     want = np.asarray(pq_conv(x, params, stride=1, pad=0, impl="decode"))
+    saved = conv_mod._FC1X1_MAX_ROWS
     try:
         conv_mod._FC1X1_MAX_ROWS = 4096  # the rule is off in production
         got = np.asarray(pq_conv(x, params, stride=1, pad=0,
                                  impl="memory_fused"))
     finally:
-        conv_mod._FC1X1_MAX_ROWS = 0
+        conv_mod._FC1X1_MAX_ROWS = saved
     rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
     assert rel < 2e-2, rel
     # and the multi-tap fused route with perm, same invariant

@@ -156,6 +156,7 @@ def main() -> int:
            "bias": jnp.asarray(rng.standard_normal(64), jnp.float32)}
     x11 = jnp.asarray(rng.standard_normal((2, 7, 7, 512)), jnp.bfloat16)
     want11 = np.asarray(pq_conv(x11, p11, stride=1, pad=0, impl="decode"))
+    saved_rows = conv_mod._FC1X1_MAX_ROWS
     try:
         conv_mod._FC1X1_MAX_ROWS = 4096
         assert memory_fused_route(p11, x11.shape, x11.dtype, stride=1,
@@ -165,7 +166,7 @@ def main() -> int:
                                        impl=impl))
             ok &= check(f"pq_conv/{impl}-1x1", got11, want11, 2e-2)
     finally:
-        conv_mod._FC1X1_MAX_ROWS = 0
+        conv_mod._FC1X1_MAX_ROWS = saved_rows
 
     # batch-1 fc memory arms (the serving path, §9d)
     cbf = jnp.asarray(rng.standard_normal((64, 32, 4)), jnp.float32)
