@@ -74,9 +74,13 @@ def _iter_fields(buf: bytes) -> Iterator[tuple[int, int, Union[int, bytes]]]:
         if wire == _VARINT:
             val, i = _read_varint(buf, i)
         elif wire == _I64:
+            if i + 8 > n:
+                raise ValueError(f"truncated fixed64 field {field}")
             val = int.from_bytes(buf[i:i + 8], "little")
             i += 8
         elif wire == _I32:
+            if i + 4 > n:
+                raise ValueError(f"truncated fixed32 field {field}")
             val = int.from_bytes(buf[i:i + 4], "little")
             i += 4
         elif wire == _LEN:
@@ -152,10 +156,13 @@ def _parse_blob(buf: bytes) -> np.ndarray:
     data = (np.concatenate(chunks) if chunks
             else np.zeros(0, np.float32)).astype(np.float32)
     if shape is None:
-        # legacy 4-D header; drop leading 1-dims the way Caffe's reshape does
+        # legacy 4-D num/channels/height/width header: keep ALL dims.
+        # (An earlier unconditional leading-1 squeeze mangled valid conv
+        # blobs with num==1 — (1,Cin,kh,kw) became rank 3 and a valid
+        # model was rejected; round-5 review. Consumers that expect
+        # lower rank — FC weights, biases — squeeze/ravel at the point
+        # where the expected rank is actually known.)
         shape = legacy
-        while len(shape) > 1 and shape[0] == 1:
-            shape = shape[1:]
     if int(np.prod(shape)) != data.size:
         raise ValueError(
             f"blob shape {shape} does not match {data.size} floats"
@@ -284,6 +291,10 @@ def import_caffemodel(path_or_bytes, spec) -> list:
             params[idx] = dense_conv_params(kernel.astype(np.float32),
                                             bias.astype(np.float32))
         else:
+            # legacy FC blobs arrive (1, 1, Cout, Cin): drop leading
+            # 1-dims here (the parser no longer squeezes)
+            while w.ndim > 2 and w.shape[0] == 1:
+                w = w[0]
             w2 = w.reshape(w.shape[0], -1) if w.ndim > 2 else w
             if w2.shape[0] != lspec.out_features:
                 raise ValueError(

@@ -58,6 +58,11 @@ def spec_from_dict(d: dict) -> ModelSpec:
     for ld in d["layers"]:
         ld = dict(ld)
         cls = _SPEC_CLASSES[ld.pop("type")]
+        # JSON round-trips tuples as lists (e.g. LRNSpec.channel_map);
+        # frozen specs must stay hashable for jit staticness (round-5
+        # review — load_family_checkpoint already converts, this didn't)
+        ld = {k: tuple(v) if isinstance(v, list) else v
+              for k, v in ld.items()}
         layers.append(cls(**ld))
     return ModelSpec(
         name=d["name"],

@@ -42,7 +42,7 @@ _FLOAT = 1  # TensorProto.DataType.FLOAT
 class OnnxNode:
     op_type: str
     inputs: list
-    attrs: dict  # name -> int (only integer attrs are needed: transB)
+    attrs: dict  # name -> int|float (transA/transB, Gemm alpha/beta)
 
 
 def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
@@ -97,14 +97,17 @@ def _parse_node(buf: bytes) -> OnnxNode:
             op_type = val.decode("utf-8", "replace")
         elif field == 5:
             aname = ""
-            aint = None
+            aval = None
             for f2, _w2, v2 in _iter_fields(val):
                 if f2 == 1:
                     aname = v2.decode("utf-8", "replace")
-                elif f2 == 3:
-                    aint = int(v2)
-            if aname and aint is not None:
-                attrs[aname] = aint
+                elif f2 == 2:  # AttributeProto.f (float, fixed32 wire)
+                    aval = struct.unpack(
+                        "<f", int(v2).to_bytes(4, "little"))[0]
+                elif f2 == 3:  # AttributeProto.i
+                    aval = int(v2)
+            if aname and aval is not None:
+                attrs[aname] = aval
     return OnnxNode(op_type, inputs, attrs)
 
 
@@ -175,7 +178,11 @@ def import_onnx(path_or_bytes, spec) -> list:
                     f"node {nd.op_type}({nd.inputs[1]}): expected a Conv "
                     f"for spec layer {idx}"
                 )
-            if w.shape[0] != lspec.out_channels or w.shape[2] != lspec.kernel:
+            if (w.shape[0] != lspec.out_channels
+                    or w.shape[2:] != (lspec.kernel, lspec.kernel)):
+                # both spatial dims: a non-square kernel used to pass
+                # (only kh was checked) and die later as a confusing
+                # lax.conv shape error (round-5 review)
                 raise ValueError(
                     f"{nd.inputs[1]}: {w.shape} does not match spec "
                     f"(out={lspec.out_channels}, k={lspec.kernel})"
@@ -193,7 +200,27 @@ def import_onnx(path_or_bytes, spec) -> list:
                     f"layer {idx}"
                 )
             # Gemm transB=1 (torch export default): (Cout, Cin) -> .T;
-            # MatMul / transB=0: already (Cin, Cout)
+            # MatMul / transB=0: already (Cin, Cout). Non-default
+            # alpha/beta/transA would silently change the math (the
+            # int-attr parser cannot read float attrs at all), so any
+            # captured transA must be rejected rather than ignored
+            # (round-5 review).
+            if nd.op_type == "Gemm":
+                if nd.attrs.get("transA", 0):
+                    raise ValueError(
+                        f"Gemm({nd.inputs[1]}): transA=1 is not supported "
+                        "(the activation side is never transposed in the "
+                        "torch export path this importer targets)"
+                    )
+                for scale_attr in ("alpha", "beta"):
+                    v = float(nd.attrs.get(scale_attr, 1.0))
+                    if abs(v - 1.0) > 1e-6:
+                        raise ValueError(
+                            f"Gemm({nd.inputs[1]}): {scale_attr}={v} — "
+                            "non-unit Gemm scales would silently change "
+                            "the imported math; rescale the weights "
+                            "before export"
+                        )
             trans_b = nd.op_type == "Gemm" and nd.attrs.get("transB", 0)
             w2 = w.T if trans_b else w
             if w2.shape[1] != lspec.out_features:

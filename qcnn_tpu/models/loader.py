@@ -158,7 +158,19 @@ def save_reference_model(
             if encoding == "cbn":
                 write_cbn(path("asmtLst", i, "cbn"), asmt)
             else:
-                write_bin(path("asmtLst", i, "bin"), asmt)
+                # raw .bin stores 1-BASED MATLAB indices — the reference
+                # loader subtracts 1 on read (CaffePara.cc:284-288) and
+                # our read_asmt rejects files containing 0. Round-5
+                # review: writing the raw 0-based array here corrupted
+                # every exported layer by one codeword (or failed the
+                # reload). Same uint8 format ceiling as convert_asmt.
+                if asmt.max(initial=0) >= 255:
+                    raise ValueError(
+                        f"layer {i}: codeword index "
+                        f"{int(asmt.max())} cannot be stored 1-based in "
+                        "the uint8 .bin format; use encoding='cbn'"
+                    )
+                write_bin(path("asmtLst", i, "bin"), asmt + 1)
         elif "kernel" in p:
             # HWIO -> reference convKnl (Cout, Cg, kh, kw)
             write_bin(path("convKnl", i, "bin"),

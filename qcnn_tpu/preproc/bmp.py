@@ -35,6 +35,12 @@ def decode_bmp(data: bytes, name: str = "<bytes>") -> np.ndarray:
         )
     top_down = height < 0
     height = abs(height)
+    if width <= 0 or height == 0:
+        # width=-1 would otherwise flow into reshape(h, -1, 3) as NumPy
+        # dimension INFERENCE and silently yield an empty image
+        # (round-5 review); the native C++ decoder rejects these too
+        raise ValueError(f"{path}: invalid BMP dimensions "
+                         f"{width}x{height}")
     row_bytes = (width * 3 + 3) & ~3
     end = pixel_offset + row_bytes * height
     if len(data) < end:

@@ -72,7 +72,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int,                      # threads
             ]
             _lib = lib
-        except (OSError, subprocess.CalledProcessError):
+        except Exception:  # noqa: BLE001 - any load/bind failure means
+            # "no native path": e.g. a stale .so missing a newer symbol
+            # raises AttributeError, which used to escape available()
+            # and crash every request instead of falling back to NumPy
+            # (round-5 review; formats/native catches broadly for the
+            # same reason)
             _build_failed = True
         return _lib
 

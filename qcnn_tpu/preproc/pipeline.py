@@ -221,9 +221,13 @@ class Preprocessor:
             mean_full=self.mean_type is MeanType.FULL,
         )
         if failures:
-            raise ValueError(
-                f"{failures} of {len(blobs)} images failed native decode"
-            )
+            # the hardened C++ decoder bounds dimensions more tightly
+            # than the NumPy path (hostile-input limits); a batch with
+            # one such image must not fail wholesale when the NumPy
+            # decoder accepts it — fall back, and genuinely corrupt
+            # images still raise their per-image ValueError there
+            # (round-5 review: environment-dependent batch failures)
+            return np.stack([self(decode_image(b)) for b in blobs])
         return out
 
 
@@ -321,7 +325,8 @@ class TorchPreprocessor:
             mean=self.mean, std=self.std,
         )
         if failures:
-            raise ValueError(
-                f"{failures} of {len(blobs)} images failed native decode"
-            )
+            # same contract as Preprocessor.process_blobs: NumPy decides
+            # whether an image the bounded C++ decoder refused is truly
+            # invalid (per-image error) or just outside its limits
+            return np.stack([self(decode_image(b)) for b in blobs])
         return out

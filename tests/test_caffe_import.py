@@ -79,15 +79,34 @@ def test_legacy_4d_blob_header():
     np.testing.assert_array_equal(got, arr)
 
 
-def test_legacy_bias_header_drops_leading_ones():
-    # Caffe historically stored FC bias as (1, 1, 1, N)
+def test_legacy_header_keeps_all_dims():
+    """Round-5 review: the parser used to squeeze ALL leading 1-dims,
+    mangling a valid (1, Cin, kh, kw) conv blob (out_channels=1) to
+    rank 3. The parser now keeps the legacy 4-D header as-is; consumers
+    that expect lower rank (FC weights via the importer's squeeze, bias
+    via ravel) reduce it where the expected rank is known."""
     arr = np.arange(5, dtype=np.float32)
     payload = b"".join(
         caffe_pb._key(f, 0) + caffe_pb._write_varint(d)
         for f, d in zip((1, 2, 3, 4), (1, 1, 1, 5))
     ) + caffe_pb._len_field(5, arr.astype("<f4").tobytes())
     got = caffe_pb._parse_blob(payload)
-    assert got.shape == (5,)
+    assert got.shape == (1, 1, 1, 5)  # ravel()-consumed by the importer
+    conv = np.arange(12, dtype=np.float32).reshape(1, 3, 2, 2)
+    payload = b"".join(
+        caffe_pb._key(f, 0) + caffe_pb._write_varint(d)
+        for f, d in zip((1, 2, 3, 4), conv.shape)
+    ) + caffe_pb._len_field(5, conv.ravel().astype("<f4").tobytes())
+    got = caffe_pb._parse_blob(payload)
+    np.testing.assert_array_equal(got, conv)  # rank 4 preserved
+
+
+def test_truncated_fixed32_rejected():
+    """A file cut mid-fixed32 must error, not decode garbage bytes
+    (round-5 review: int.from_bytes on a short slice succeeded)."""
+    payload = caffe_pb._key(2, 5) + b"\x01\x02"  # fixed32 with 2 bytes
+    with pytest.raises(ValueError, match="truncated fixed32"):
+        list(caffe_pb._iter_fields(payload))
 
 
 def test_unknown_fields_are_skipped(tmp_path):

@@ -135,6 +135,41 @@ def test_import_export_roundtrip_bit_exact(tmp_path, reference_dir):
     assert checked >= 20
 
 
+def test_export_bin_encoding_is_one_based(tmp_path, reference_dir):
+    """Round-5 review regression: export --encoding bin wrote the raw
+    0-based indices into the format the reference engine (and read_asmt)
+    define as 1-based — a reload failed and the C++ engine would have
+    shifted every codeword by one. The .bin export must round-trip."""
+    from qcnn_tpu.formats import read_asmt, read_bin
+    from qcnn_tpu.models.loader import (
+        load_reference_model, save_reference_model,
+    )
+
+    from qcnn_tpu.models.zoo import alexnet
+
+    spec = alexnet()
+    res = load_reference_model(
+        spec, os.path.join(reference_dir, "AlexNet", "Bin.Files"),
+        "bvlc_alexnet_aCaF", synthesize_missing=True,
+    )
+    out = str(tmp_path / "binexp")
+    save_reference_model(spec, res.params, out,
+                         prefix="p", encoding="bin")
+    import glob as _glob
+
+    bins = sorted(_glob.glob(os.path.join(out, "p.asmtLst.*.bin")))
+    assert bins, "no raw assignment exports written"
+    for path in bins:
+        raw = read_bin(path, np.uint8)
+        assert raw.min() >= 1  # stored 1-based
+    # reload through the public reader: identical 0-based indices
+    idx = int(bins[0].split(".")[-2]) - 1
+    np.testing.assert_array_equal(
+        read_asmt(bins[0]),
+        np.asarray(res.params[idx]["assignments"]),
+    )
+
+
 def test_eval_dataset_branch(tmp_path, reference_dir, capsys):
     """The full-dataset eval path (dataMatTst/lablVecTst), exercised with a
     synthetic 8-image set in a fake reference layout — this is the exact

@@ -132,17 +132,38 @@ def test_torch_transform_parity(bmps, native_lib):
 
 
 def test_torch_transform_hostile_input(native_lib):
-    """Hostile/truncated inputs raise ValueError, never crash: BMP-tagged
-    blobs fail in the native decoder (same contract as the Caffe-path
-    entry point); non-BMP garbage fails in the PIL route."""
+    """Hostile/truncated inputs raise ValueError, never crash. Since the
+    round-5 fallback (native failures re-route the batch to NumPy so the
+    bounded C++ decoder's tighter limits cannot fail valid images
+    environment-dependently), the NumPy decoder is the arbiter — truly
+    invalid images raise ITS per-image ValueError."""
     from qcnn_tpu.preproc.pipeline import TorchPreprocessor
 
     pre = TorchPreprocessor.imagenet()
-    with pytest.raises(ValueError, match="failed native decode"):
+    with pytest.raises(ValueError, match="truncated pixel data"):
         pre.process_blobs([_bmp_with_dims(2**31 - 1, 40),
                            _bmp_with_dims(100, 100, b"\0" * 8)])
     with pytest.raises(ValueError, match="undecodable image"):
         pre.process_blobs([b"not an image at all"])
+    # a width the C++ decoder's hostile-input bound rejects (> 65536) but
+    # NumPy can decode must NOT fail the batch wholesale — it decodes
+    # through the fallback (round-5 review: environment-dependent
+    # result). Checked on the STRICT-resize Caffe pipeline so the
+    # oversized axis collapses to a fixed 256x256 (the torch transform's
+    # aspect-preserving resize would materialize a GB-scale panorama).
+    from qcnn_tpu.preproc.bmp import encode_bmp24
+    from qcnn_tpu.preproc.pipeline import (
+        MeanType, Preprocessor, ReszType,
+    )
+
+    cafpre = Preprocessor(
+        full_h=256, full_w=256, crop_h=227, crop_w=227,
+        resz_type=ReszType.STRICT, mean_type=MeanType.FULL,
+        mean_image=np.zeros((256, 256, 3), np.float32),
+    )
+    wide = np.zeros((8, 66000, 3), np.uint8)
+    out = cafpre.process_blobs([encode_bmp24(wide, input_order="rgb")])
+    assert out is not None and out.shape == (1, 227, 227, 3)
 
 
 def test_torch_transform_orientations(native_lib, rng):
