@@ -100,3 +100,13 @@ def serving_defaults(model: str) -> dict:
         return {"max_batch": 64, "buckets": (1, 8, 32, 64)}
     # CNNs (AlexNet class, VGG, resnet18/50): scale through 64
     return {"max_batch": 64, "buckets": (1, 8, 32, 64)}
+
+def make_cast(compute_dtype):
+    """Activation-cast closure shared by the family forwards. `.dtype`
+    carries the GEMM/conv emit dtype (out_dtype of _apply_conv/_proj);
+    one copy so the dtype rule cannot drift between families (round-5
+    review: resnet/vit each had a verbatim private copy)."""
+    def cast(v):
+        return v.astype(compute_dtype) if compute_dtype is not None else v
+    cast.dtype = compute_dtype
+    return cast

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qcnn_tpu.models import common
+from qcnn_tpu.models.common import make_cast as _make_cast
 from qcnn_tpu.ops import conv as conv_ops
 from qcnn_tpu.ops import fc as fc_ops
 from qcnn_tpu.ops.misc import relu
@@ -149,13 +150,6 @@ def _apply_fc(x, p, out_dtype=None):
             act_scale=p.get("act_scale"),
         )
     return fc_ops.fc_dense(x, p["weight"], p["bias"], out_dtype=out_dtype)
-
-
-def _make_cast(compute_dtype):
-    def cast(v):
-        return v.astype(compute_dtype) if compute_dtype is not None else v
-    cast.dtype = compute_dtype  # the conv-emit dtype (_apply_conv out_dtype)
-    return cast
 
 
 def _run_block(x, block, stride: int, bottleneck: bool, cast):
@@ -330,11 +324,17 @@ def prepare_params(spec: ResNetSpec, params: dict, dtype=jnp.bfloat16,
                 cb_dtype = (
                     ml_dtypes.bfloat16 if int8 else np_dtype
                 )
-                return {
+                out = {
                     "codebooks": np.asarray(p["codebooks"], cb_dtype),
                     "assignments": np.asarray(p["assignments"]),
                     "bias": np.asarray(p["bias"], np.float32),
                 }
+                if "perm" in p:
+                    # OPQ channel permutation: consumed per call by
+                    # ops.pq_conv/pq_fc (round-5 review: dropping it
+                    # here silently computed W_perm.x)
+                    out["perm"] = np.asarray(p["perm"])
+                return out
             s, _, d = np.asarray(p["codebooks"]).shape
             if is_fc:
                 w = _decode_fc_weight_np(
@@ -342,12 +342,22 @@ def prepare_params(spec: ResNetSpec, params: dict, dtype=jnp.bfloat16,
                     np.asarray(p["assignments"]),
                     cin_hint if cin_hint else s * d,
                 )
+                if "perm" in p:
+                    # fold the inverse permutation into the decoded
+                    # weight, exactly as models/prepare.py:262
+                    from qcnn_tpu.quantizer.opq import inverse_permutation
+
+                    w = w[inverse_permutation(p["perm"]), :]
                 return finish("weight", w, p["bias"])
             kern = _decode_conv_kernel_np(
                 np.asarray(p["codebooks"]),
                 np.asarray(p["assignments"]),
                 cin_hint if cin_hint else s * d,
             )
+            if "perm" in p:
+                from qcnn_tpu.quantizer.opq import inverse_permutation
+
+                kern = kern[:, :, inverse_permutation(p["perm"]), :]
             return finish("kernel", kern, p["bias"])
         if "kernel" in p:
             return finish("kernel", p["kernel"], p["bias"])

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qcnn_tpu.models import common
+from qcnn_tpu.models.common import make_cast as _make_cast
 from qcnn_tpu.ops import fc as fc_ops
 
 
@@ -211,13 +212,6 @@ def forward(
     return _run_head(x, params, with_softmax)
 
 
-def _make_cast(compute_dtype):
-    def cast(v):
-        return v.astype(compute_dtype) if compute_dtype is not None else v
-    cast.dtype = compute_dtype  # the GEMM-emit dtype (_proj out_dtype)
-    return cast
-
-
 def _run_embed(x, params, spec, cast):
     b, h, w, c = x.shape
     p = spec.patch
@@ -275,10 +269,22 @@ def forward_segments(spec: ViTSpec, *, compute_dtype=None,
                      with_softmax: bool = False, attn_logits_dtype=None):
     """[(name, fn(x, params) -> x)] whose composition equals forward —
     feeds eval.profiler.profile_segments (family DispElpsTime analogue)."""
-    if attn_logits_dtype is None:
+    if attn_logits_dtype is None and compute_dtype is not None:
+        # same rule as forward (which keys off x.dtype AFTER the
+        # compute_dtype cast — round-5 review: `compute_dtype ==
+        # jnp.bfloat16` missed the string spelling and the
+        # compute_dtype=None bf16-input case, so segment numerics
+        # diverged from the forward they claim to compose into)
         attn_logits_dtype = (
-            jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
+            jnp.bfloat16 if jnp.dtype(compute_dtype) == jnp.bfloat16
+            else jnp.float32
         )
+
+    def _attn_dtype(x):
+        if attn_logits_dtype is not None:
+            return attn_logits_dtype
+        return jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+
     cast = _make_cast(compute_dtype)
 
     def embed(x, p):
@@ -291,7 +297,7 @@ def forward_segments(spec: ViTSpec, *, compute_dtype=None,
         segs.append((
             f"blk{i}",
             lambda x, p, i=i: _run_block(
-                x, p[f"blk{i}"], spec, cast, attn_logits_dtype
+                x, p[f"blk{i}"], spec, cast, _attn_dtype(x)
             ),
         ))
     segs.append(("head", lambda x, p: _run_head(x, p, with_softmax)))
@@ -364,15 +370,25 @@ def prepare_params(spec: ViTSpec, params: dict, dtype=jnp.bfloat16,
         if isinstance(p, dict) and "codebooks" in p:
             if memory:
                 cb_dtype = ml_dtypes.bfloat16 if int8 else np_dtype
-                return {
+                out = {
                     "codebooks": np.asarray(p["codebooks"], cb_dtype),
                     "assignments": np.asarray(p["assignments"]),
                     "bias": np.asarray(p["bias"], np.float32),
                 }
+                if "perm" in p:
+                    # OPQ perm: consumed per call by ops.pq_fc (round-5
+                    # review: dropping it silently computed W_perm.x)
+                    out["perm"] = np.asarray(p["perm"])
+                return out
             w = _decode_fc_weight_np(
                 np.asarray(p["codebooks"]), np.asarray(p["assignments"]),
                 cin_map[path],
             )
+            if "perm" in p:
+                # fold the inverse permutation, as models/prepare.py:262
+                from qcnn_tpu.quantizer.opq import inverse_permutation
+
+                w = w[inverse_permutation(p["perm"]), :]
             return finish(w, p["bias"])
         if isinstance(p, dict) and "weight" in p:
             return finish(p["weight"], p["bias"])

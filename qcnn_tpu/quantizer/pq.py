@@ -208,10 +208,11 @@ def quantize_error_corrected(
                 "db,bk->kd", xs.T, resid @ onehot,
                 preferred_element_type=jnp.float32,
             ) / jnp.maximum(counts, 1.0)[:, None]
-            # solve G·c = rhs per codeword (G is shared across codewords)
-            c_new = jnp.linalg.solve(
-                jnp.broadcast_to(gram[si], (k_cnt, d, d)), rhs[..., None]
-            )[..., 0]
+            # solve G·c = rhs per codeword — ONE factorization with K
+            # right-hand sides (G is shared across codewords; the old
+            # (K,D,D) broadcast LU-factorized the identical system K
+            # times per sub-space per round — round-5 review)
+            c_new = jnp.linalg.solve(gram[si], rhs.T).T
             c_new = jnp.where(counts[:, None] > 0, c_new, codebooks[si])
             codebooks = codebooks.at[si].set(c_new)
             assigns = assigns.at[si].set(a_new)
@@ -297,10 +298,15 @@ def _guard_mse(res, w: np.ndarray, xcal: Optional[np.ndarray]) -> float:
     ||X(W - Ŵ)^T||² that the error-corrected fit actually minimizes
     (comparing weight MSE there could prefer the variant that is worse on
     the real objective)."""
-    from qcnn_tpu.ops.lut import decode_fc_weight
+    # NumPy decode, not the jnp op: this is host-side tooling, and each
+    # eager device decode costs a ~20-40 s remote compile per shape on
+    # the tunneled TPU (the exact cost models/prepare.py documents
+    # avoiding; round-5 review)
+    from qcnn_tpu.models.prepare import _decode_fc_weight_np
 
-    w_hat = np.asarray(
-        decode_fc_weight(res.codebooks, res.assignments, w.shape[1])
+    w_hat = _decode_fc_weight_np(
+        np.asarray(res.codebooks, np.float32),
+        np.asarray(res.assignments), w.shape[1],
     ).T
     if xcal is None:
         return float(np.mean((w_hat - w) ** 2))
@@ -318,9 +324,15 @@ def _quantize_2d_maybe_opq(key, w, xcal, *, num_subspaces, num_codewords,
     def fit(wm, xc):
         wj = jnp.asarray(wm, jnp.float32)
         if xc is None:
+            # EC-only knobs (rounds, ridge) are meaningless without
+            # calibration inputs: drop them instead of crashing
+            # quantize_plain with an unexpected-kwarg TypeError
+            # (round-5 review)
+            plain_kw = {k: v for k, v in kwargs.items()
+                        if k in ("iters",)}
             return quantize_plain(
                 key, wj, num_subspaces=num_subspaces,
-                num_codewords=num_codewords, **kwargs,
+                num_codewords=num_codewords, **plain_kw,
             )
         return quantize_error_corrected(
             key, wj, jnp.asarray(xc, jnp.float32),

@@ -90,6 +90,32 @@ class TestResNet:
         got = np.asarray(resnet.forward(p_mem, x, spec=spec))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
+    def test_prepare_handles_opq_perm(self, small, rng):
+        """Round-5 review regression: family prepare_params used to DROP
+        'perm' in memory mode and skip the inverse-permutation fold in
+        decode mode — silently wrong logits for any OPQ-quantized layer.
+        Both modes must agree on perm-carrying params (the ops apply the
+        permutation per call; the fold bakes its inverse into the
+        decoded weight — models/prepare.py's linear-path contract)."""
+        spec, dense, x = small
+        pq = resnet.quantize_params(spec, dense)
+        # inject a random perm on a conv and the fc: equality between
+        # the two prepare modes holds for ANY (codebooks, perm) pair
+        conv_cin = dense["s0b0"]["conv1"]["kernel"].shape[2]
+        pq["s0b0"]["conv1"]["perm"] = rng.permutation(
+            conv_cin).astype(np.int32)
+        pq["fc"]["perm"] = rng.permutation(
+            dense["fc"]["weight"].shape[0]).astype(np.int32)
+        p_dec = resnet.prepare_params(spec, pq, dtype=jnp.float32)
+        p_mem = resnet.prepare_params(spec, pq, dtype=jnp.float32,
+                                      memory=True)
+        # the memory tree carries the perm; the decode tree folded it
+        assert "perm" in p_mem["s0b0"]["conv1"]
+        assert "perm" not in p_dec["s0b0"]["conv1"]
+        want = np.asarray(resnet.forward(p_dec, x, spec=spec))
+        got = np.asarray(resnet.forward(p_mem, x, spec=spec))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
     def test_forward_segments_compose_to_forward(self, small):
         """forward_segments (the profile CLI's family path) composes to
         exactly the full forward."""
