@@ -70,9 +70,14 @@ def memory_fused_route(params: dict, x_shape, x_dtype, *, stride: int,
     # fc1x1 pre-slices x[:, ::stride] -> ceil(h/stride) rows (advisor
     # finding: floor under-counted threshold-boundary odd geometries)
     rows = b * (-(-h // stride)) * (-(-w // stride))
+    k_cnt = params["codebooks"].shape[1]
     if (a_shape[1] == 1 and a_shape[2] == 1 and groups == 1 and pad == 0
             and cin >= _FC1X1_MIN_RATIO * cout
-            and rows <= _FC1X1_MAX_ROWS):
+            and rows <= _FC1X1_MAX_ROWS
+            and k_cnt <= 128):  # pq_fc_fused's one-vreg gather table —
+            # without this an A/B toggle of the gate on K=256 params
+            # CRASHED at trace time instead of falling back (round-5
+            # review); unsupported geometries route like all others
         return "fc1x1"
     return "indecode_ohwi"
 
@@ -152,6 +157,14 @@ def conv_dense(
     costs more than XLA's native small-Cin handling — so it is opt-in,
     kept as a documented negative result (docs/KERNEL_STUDIES.md).
     """
+    if x.dtype == jnp.int8:
+        # int8 activations are quantized CODES (ops/fc.fc_dense has the
+        # same guard and rationale) — a float conv consuming them would
+        # silently compute garbage
+        raise ValueError(
+            "conv_dense received int8 activation codes; the consumer "
+            "must be conv_dense_int8 or the producer must not requantize"
+        )
     if x.dtype != kernel.dtype:
         x = x.astype(kernel.dtype)
     out_hw = None

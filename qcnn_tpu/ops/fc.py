@@ -21,6 +21,17 @@ def fc_dense(x: jax.Array, weight: jax.Array, bias: jax.Array,
     out_dtype: emit this dtype from the GEMM and add the bias in it (same
     rationale as ops/conv.conv_dense — dots CAN fuse converts, but emitting
     the final dtype avoids the f32 round-trip when the consumer is bf16)."""
+    if x.dtype == jnp.int8:
+        # int8 activations are QUANTIZED CODES (the int8-native dataflow,
+        # ops §6c); astype would reinterpret them as float values and
+        # silently compute garbage scaled by the activation scale
+        # (round-5 review). A float consumer after an int8 producer is a
+        # prepare-plan bug; fail loudly.
+        raise ValueError(
+            "fc_dense received int8 activation codes; the consumer must "
+            "be an int8 op (fc_dense_int8) or the producer must not "
+            "requantize (out_scale)"
+        )
     if x.dtype != weight.dtype:
         x = x.astype(weight.dtype)
     out = jnp.dot(x, weight, preferred_element_type=(out_dtype or

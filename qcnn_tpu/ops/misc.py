@@ -88,6 +88,13 @@ def lrn(
     bf16 quantization of the window sum. network.forward passes its
     compute_dtype here.
     """
+    if size % 2 == 0:
+        # the band formulation is centred (radius (size-1)//2 both
+        # sides), the jnp shifted-slice path is not: for EVEN size the
+        # two silently diverge (round-5 review: measured 3.9e-4 on a
+        # size-4 probe, i.e. TPU vs CPU results differ). Caffe's LRN is
+        # odd-size only; make the contract explicit.
+        raise ValueError(f"lrn requires an odd window size, got {size}")
     if channel_map is not None:
         m = jnp.asarray(channel_map, jnp.int32)
         valid = m >= 0

@@ -46,6 +46,13 @@ def make_pipeline_mesh(devices=None, *, stages=None) -> Mesh:
         devices = jax.devices()
     if stages is None:
         stages = len(devices)
+    if stages > len(devices):
+        # a silently truncated mesh has DIFFERENT parallelism than
+        # requested and surfaces later as a confusing depth-divisibility
+        # error (round-5 review)
+        raise ValueError(
+            f"{stages} pipeline stages > {len(devices)} devices"
+        )
     return Mesh(np.asarray(devices[:stages]), (STAGE_AXIS,))
 
 
@@ -63,6 +70,16 @@ def stack_vit_blocks(spec, params: dict) -> tuple[dict, dict]:
 def place_pipeline_params(mesh: Mesh, stacked: dict, rest: dict):
     """Shard stacked block leaves over the stage axis ((depth,) leading
     dim); replicate embed/head."""
+    s_stages = mesh.shape[STAGE_AXIS]
+    depth = next(iter(jax.tree_util.tree_leaves(stacked))).shape[0]
+    if depth % s_stages:
+        # placement runs BEFORE pipeline_vit_forward in the natural
+        # setup order, so its friendly divisibility error was
+        # unreachable — the failure was a cryptic GSPMD device_put
+        # error here (round-5 review)
+        raise ValueError(
+            f"depth {depth} not divisible by {s_stages} stages"
+        )
     repl = NamedSharding(mesh, P())
 
     def shard_leaf(leaf):

@@ -95,7 +95,11 @@ def shard_params(
         if p is None:
             out.append(None)
         else:
-            out.append({k: jax.device_put(np.asarray(v), s[k]) for k, v in p.items()})
+            # device_put accepts jax AND numpy arrays directly: the old
+            # np.asarray(v) pulled already-device-resident params back
+            # to host (a dense fc6 is ~151 MB) before re-uploading
+            # (round-5 review)
+            out.append({k: jax.device_put(v, s[k]) for k, v in p.items()})
     return out
 
 
