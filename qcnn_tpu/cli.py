@@ -185,6 +185,12 @@ def cmd_eval(args) -> int:
             log("error: no images matched --images with a label in the "
                 "labels file")
             return 1
+        if args.limit:
+            # honor --limit like the reference-blob and shipped-BMP eval
+            # paths do (round-5 review: this branch silently evaluated
+            # every matched image — hours on a tunneled chip when the
+            # user asked for a bounded run)
+            labeled = labeled[: args.limit]
         import time as _time
 
         ks = (1, 2, 3, 4, 5)
@@ -614,30 +620,17 @@ def _build_family_engine(fam, spec, params, config, *,
     """One engine builder for every family-params source (checkpoint or
     synthetic): compute-dtype defaulting, the int8->bf16 activation rule,
     prepare, the partial forward, and the bf16 upload cast."""
-    import functools
-
-    import jax
     import jax.numpy as jnp
     import ml_dtypes
 
-    from qcnn_tpu.models.prepare import act_dtype_for
+    from qcnn_tpu.models.common import build_family_forward
     from qcnn_tpu.serve.engine import BatchingEngine
 
-    if compute_dtype is None:
-        compute_dtype = (
-            jnp.bfloat16 if jax.default_backend() == "tpu"
-            else jnp.float32
-        )
-    # int8 = weight representation only; the forward must run bf16
-    # activations (raw int8 compute_dtype would astype-truncate them)
-    act_dtype = act_dtype_for(compute_dtype)
-    prepared = fam.prepare_params(spec, params, dtype=compute_dtype,
-                                  memory=memory_mode)
-    size = getattr(spec, "in_size", None) or spec.image_size
-    fwd = functools.partial(
-        fam.forward, spec=spec, compute_dtype=act_dtype,
-        with_softmax=True,
+    prepared, fwd, act_dtype = build_family_forward(
+        fam, spec, params, memory=memory_mode,
+        compute_dtype=compute_dtype,
     )
+    size = getattr(spec, "in_size", None) or spec.image_size
     upload = (ml_dtypes.bfloat16 if act_dtype == jnp.bfloat16 else None)
     return BatchingEngine.from_forward(
         fwd, prepared, (size, size, 3), config=config,
@@ -673,8 +666,6 @@ def family_engine_from_checkpoint(path: str, config,
 
 
 def cmd_serve(args) -> int:
-    import functools
-
     from qcnn_tpu.serve.engine import BatchingEngine, EngineConfig
     from qcnn_tpu.serve.http import serve as http_serve
 
@@ -824,16 +815,16 @@ def cmd_profile(args) -> int:
         ).params
     else:
         params = synth.random_pq_params(spec, seed=0)
-    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
-             "int8": jnp.int8}[args.dtype]
+    dtype = _dtype_arg(args.dtype)
     prepared, ci, fi = prepare_params(
         spec, params, batch_hint=args.batch,
         conv_impl=args.conv_impl, fc_impl=args.fc_impl, dtype=dtype,
     )
-    if args.dtype == "int8":
-        # int8 selects the weight representation; activations stay bf16
-        # between layers (models/prepare.act_dtype_for)
-        dtype = jnp.bfloat16
+    # the ONE activation-dtype rule (round-5 review: an inline copy here
+    # could drift from what production forwards execute)
+    from qcnn_tpu.models.prepare import act_dtype_for
+
+    dtype = act_dtype_for(dtype)
     x = synth.random_input(spec, args.batch, seed=1)
     if args.trace:
         # jax.profiler trace alongside the table (viewable in TensorBoard /
@@ -879,13 +870,13 @@ def _profile_family(args) -> int:
 
         spec = fam.VITS[args.model]()
         size = spec.image_size
-    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
-             "int8": jnp.int8}[args.dtype]
+    dtype = _dtype_arg(args.dtype)
     pq = fam.quantize_params(spec, fam.init_dense_params(spec, seed=0))
     prepared = jax.device_put(fam.prepare_params(spec, pq, dtype=dtype))
-    # int8 selects the weight representation; activations stay bf16
-    act_dtype = jnp.bfloat16 if args.dtype in ("bfloat16", "int8") \
-        else jnp.float32
+    # the ONE activation-dtype rule (models/prepare.act_dtype_for)
+    from qcnn_tpu.models.prepare import act_dtype_for
+
+    act_dtype = act_dtype_for(dtype)
     x = np.random.default_rng(1).standard_normal(
         (args.batch, size, size, 3)
     ).astype(np.float32)

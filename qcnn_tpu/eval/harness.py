@@ -242,7 +242,7 @@ class FamilyClassifier(_ClassifierBase):
         memory: bool = False,
         compute_dtype=None,
     ) -> None:
-        import functools
+        from qcnn_tpu.models.common import build_family_forward
 
         self.family = family
         self.spec = spec
@@ -250,23 +250,12 @@ class FamilyClassifier(_ClassifierBase):
         self.class_names = class_names or []
         self.image_labels = image_labels or {}
         self.timers = TimerSet()
-        if compute_dtype is None:
-            compute_dtype = (
-                jnp.bfloat16 if jax.default_backend() == "tpu"
-                else jnp.float32
-            )
-        from qcnn_tpu.models.prepare import act_dtype_for
-
-        act_dtype = act_dtype_for(compute_dtype)
-        fam = __import__(f"qcnn_tpu.models.{family}", fromlist=[family])
-        self.params = jax.device_put(
-            fam.prepare_params(spec, params, dtype=compute_dtype,
-                               memory=memory)
+        prepared, fwd, _ = build_family_forward(
+            family, spec, params, memory=memory,
+            compute_dtype=compute_dtype,
         )
-        self._fwd = jax.jit(functools.partial(
-            fam.forward, spec=spec, compute_dtype=act_dtype,
-            with_softmax=True,
-        ))
+        self.params = jax.device_put(prepared)
+        self._fwd = jax.jit(fwd)
 
     @classmethod
     def from_checkpoint(cls, path: str, **kwargs) -> "FamilyClassifier":

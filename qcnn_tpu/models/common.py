@@ -110,3 +110,38 @@ def make_cast(compute_dtype):
         return v.astype(compute_dtype) if compute_dtype is not None else v
     cast.dtype = compute_dtype
     return cast
+
+
+def build_family_forward(family, spec, params, *, memory=False,
+                         compute_dtype=None):
+    """The ONE family serving/eval wiring: compute-dtype default (bf16 on
+    TPU), the int8->bf16 activation rule, prepare, and the
+    softmax-emitting partial forward. Returns (prepared_params,
+    forward_fn(params, x), act_dtype).
+
+    Shared by FamilyClassifier (classify/eval) and the serve engine
+    builder (round-5 review: two verbatim copies of this wiring could
+    drift — e.g. an activation-rule change reaching one surface only).
+    `family` is a registry name ('resnet'/'vit') or the module itself."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from qcnn_tpu.models.prepare import act_dtype_for
+
+    fam = (family if not isinstance(family, str) else
+           __import__(f"qcnn_tpu.models.{family}", fromlist=[family]))
+    if compute_dtype is None:
+        compute_dtype = (
+            jnp.bfloat16 if jax.default_backend() == "tpu"
+            else jnp.float32
+        )
+    act_dtype = act_dtype_for(compute_dtype)
+    prepared = fam.prepare_params(spec, params, dtype=compute_dtype,
+                                  memory=memory)
+    fwd = functools.partial(
+        fam.forward, spec=spec, compute_dtype=act_dtype,
+        with_softmax=True,
+    )
+    return prepared, fwd, act_dtype

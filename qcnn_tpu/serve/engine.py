@@ -126,6 +126,7 @@ class BatchingEngine:
         self._queue: queue.Queue = queue.Queue(
             maxsize=self.config.max_queue or 0
         )
+        self._stats_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = {"requests": 0, "batches": 0, "padded_waste": 0,
@@ -373,7 +374,12 @@ class BatchingEngine:
                 (np.asarray(image_nhwc, self._upload_dtype), fut, expiry)
             )
         except queue.Full:
-            self.stats["rejected"] += 1
+            with self._stats_lock:
+                # submit() runs on many HTTP threads concurrently; an
+                # unguarded += loses counts exactly when overload makes
+                # 'rejected' matter (round-5 review). The other counters
+                # are single-writer (dispatcher or compute thread).
+                self.stats["rejected"] += 1
             raise EngineOverloaded(
                 f"request queue full ({self.config.max_queue} pending)"
             ) from None

@@ -22,7 +22,7 @@ from qcnn_tpu.serve.engine import (
 
 
 def make_handler(engine: BatchingEngine, preprocessor, top_k: int,
-                 class_names):
+                 class_names, max_body_bytes: int = 32 << 20):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -52,6 +52,15 @@ def make_handler(engine: BatchingEngine, preprocessor, top_k: int,
                 self._json(404, {"error": "unknown path"})
                 return
             length = int(self.headers.get("Content-Length", 0))
+            if length > max_body_bytes:
+                # unbounded rfile.read(client-declared length) is a
+                # trivial memory-exhaustion DoS (round-5 review); a
+                # preprocessed 224x224x3 f32 tensor is ~600 KB
+                self._json(413, {
+                    "error": f"body {length} bytes > limit "
+                             f"{max_body_bytes}"
+                })
+                return
             body = self.rfile.read(length)
             try:
                 if self.headers.get("X-Shape"):
@@ -87,6 +96,12 @@ def make_handler(engine: BatchingEngine, preprocessor, top_k: int,
                         float(deadline_hdr) if deadline_hdr else None
                     ),
                 )
+            except ValueError as e:
+                # submit()'s shape/rank validation: the CLIENT sent a
+                # mis-shaped tensor — 400, not 500 (round-5 review: 5xx
+                # alerting fired for malformed client requests)
+                self._json(400, {"error": str(e)})
+                return
             except EngineOverloaded as e:
                 # backpressure: shed load instead of queueing unboundedly
                 self._json(503, {"error": str(e)})

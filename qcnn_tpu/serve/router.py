@@ -52,6 +52,7 @@ class Router:
     def forward(self, method: str, path: str, body: bytes | None,
                 headers: dict) -> tuple[int, bytes]:
         last_err: Exception | None = None
+        last_http: tuple[int, bytes] | None = None
         for backend in self._candidates():
             with self._lock:
                 backend.outstanding += 1
@@ -66,9 +67,25 @@ class Router:
                 with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
                     return r.status, r.read()
             except urllib.error.HTTPError as e:
-                # application-level error (bad image etc.): pass through,
-                # don't fail over
-                return e.code, e.read()
+                if e.code < 500 and e.code != 429:
+                    # client error (bad image etc.): pass through,
+                    # don't fail over — retrying elsewhere cannot help
+                    return e.code, e.read()
+                # 5xx/429 = LOAD or backend fault (503 EngineOverloaded,
+                # a wedged 500): another backend may have capacity.
+                # Round-5 review: passing these through defeated the
+                # module's failover contract — least-outstanding kept
+                # selecting the overloaded backend (its 503s return
+                # instantly, so its outstanding count stayed lowest)
+                # while an idle peer sat unused. Overload errors count
+                # toward quarantine like connection failures.
+                last_err = e
+                body_err = e.read()
+                with self._lock:
+                    backend.errors += 1
+                    backend.down_until = time.monotonic() + self.cooldown_s
+                last_http = (e.code, body_err)
+                continue
             except Exception as e:  # noqa: BLE001 - connection-level: fail over
                 last_err = e
                 with self._lock:
@@ -77,6 +94,11 @@ class Router:
             finally:
                 with self._lock:
                     backend.outstanding -= 1
+        if last_http is not None:
+            # every candidate was overloaded/faulted at the HTTP level:
+            # surface the real backend status (e.g. 503 + its
+            # backpressure body), not a generic 502
+            return last_http
         return 502, json.dumps(
             {"error": f"all backends failed: {last_err}"}
         ).encode()

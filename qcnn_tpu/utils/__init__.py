@@ -1,1 +1,1 @@
-from qcnn_tpu.utils.timing import StopWatch, TimerSet, timeit  # noqa: F401
+from qcnn_tpu.utils.timing import StopWatch, TimerSet  # noqa: F401

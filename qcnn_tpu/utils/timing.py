@@ -13,7 +13,6 @@ from collections import defaultdict
 from contextlib import contextmanager
 
 import jax
-import numpy as np
 
 
 class StopWatch:
@@ -63,20 +62,7 @@ class TimerSet:
         }
 
 
-def timeit(fn, *args, iters: int = 10, warmup: int = 2) -> dict:
-    """Measure a jitted callable: median/min wall time over `iters` runs."""
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    arr = np.asarray(times)
-    return {
-        "median_s": float(np.median(arr)),
-        "min_s": float(arr.min()),
-        "mean_s": float(arr.mean()),
-        "p90_s": float(np.percentile(arr, 90)),
-        "iters": iters,
-    }
+# NOTE: a block_until_ready-fenced `timeit` used to live here. Deleted
+# (round-5 review): on the tunneled TPU block_until_ready does NOT fence
+# (CLAUDE.md; measured 3890 "TFLOP/s" on a matmul chain), so any caller
+# would get fabricated numbers. Use utils.devtime.time_device_fn.
