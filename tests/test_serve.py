@@ -435,6 +435,67 @@ class TestRouter:
             for e in engines:
                 e.stop()
 
+    def test_overload_fails_over_to_idle_peer(self):
+        """Round-5 review regression: a 503-overloaded backend used to
+        pass its 503 straight through while an idle peer sat unused
+        (its instant 503s kept its outstanding count lowest, so
+        least-outstanding pinned it). 5xx must fail over and count
+        toward quarantine; the peer answers."""
+        import http.server
+        import threading as _threading
+
+        from qcnn_tpu.serve.router import serve_router
+
+        class Overloaded(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                self.rfile.read(
+                    int(self.headers.get("Content-Length", 0)))
+                body = b'{"error": "queue full"}'
+                self.send_response(503)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        class Healthy(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                self.rfile.read(
+                    int(self.headers.get("Content-Length", 0)))
+                body = b'{"class_ids": [0], "probs": [1.0]}'
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        s_over = http.server.ThreadingHTTPServer(("127.0.0.1", 0),
+                                                 Overloaded)
+        s_ok = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Healthy)
+        for s in (s_over, s_ok):
+            _threading.Thread(target=s.serve_forever, daemon=True).start()
+        urls = [f"http://127.0.0.1:{s_over.server_address[1]}",
+                f"http://127.0.0.1:{s_ok.server_address[1]}"]
+        router_srv = serve_router(urls, port=0, block=False,
+                                  cooldown_s=60)
+        rport = router_srv.server_address[1]
+        try:
+            for _ in range(4):  # every request must succeed via the peer
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{rport}/classify",
+                    data=b"\x00" * 16, headers={"X-Shape": "2,2,1"},
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    assert r.status == 200
+        finally:
+            router_srv.shutdown()
+            s_over.shutdown()
+            s_ok.shutdown()
+
     def test_application_errors_pass_through(self, engine):
         from qcnn_tpu.serve.router import serve_router
 
