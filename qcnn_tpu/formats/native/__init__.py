@@ -9,26 +9,15 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import threading
 
 import numpy as np
+
+from qcnn_tpu.native_build import NativeLib
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "cbncodec.cc")
 _SO = os.path.join(_DIR, "libcbncodec.so")
 _PAGE_BYTES = 4096
-
-_lock = threading.Lock()
-_lib_wrapper = None
-_build_failed = False
-
-
-def _build() -> None:
-    from qcnn_tpu.native_build import build_cmd
-
-    subprocess.run(build_cmd(_SRC, _SO), check=True, capture_output=True)
-
 
 class _Lib:
     def __init__(self, cdll: ctypes.CDLL):
@@ -71,23 +60,10 @@ class _Lib:
         return pages
 
 
+_loader = NativeLib(_SRC, _SO, _Lib)
+
+
 def get_lib() -> _Lib | None:
-    """Return the codec library, building it if needed; None if unavailable."""
-    global _lib_wrapper, _build_failed
-    if _lib_wrapper is not None:
-        return _lib_wrapper
-    if _build_failed or os.environ.get("QCNN_DISABLE_NATIVE"):
-        return None
-    with _lock:
-        if _lib_wrapper is not None:
-            return _lib_wrapper
-        try:
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
-                _SRC
-            ):
-                _build()
-            _lib_wrapper = _Lib(ctypes.CDLL(_SO))
-        except Exception:
-            _build_failed = True
-            return None
-    return _lib_wrapper
+    """Return the codec library, building it if needed; None if
+    unavailable (shared NativeLib scaffold, qcnn_tpu/native_build.py)."""
+    return _loader.get()

@@ -8,78 +8,53 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import threading
 from typing import Optional, Sequence
 
 import numpy as np
+
+from qcnn_tpu.native_build import NativeLib
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "imgproc.cc")
 _SO = os.path.join(_DIR, "libimgproc.so")
 
-_lock = threading.Lock()
-_lib = None
-_build_failed = False
+def _bind(lib):
+    lib.qcnn_preproc_batch.restype = ctypes.c_int
+    lib.qcnn_preproc_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),   # buffers
+        ctypes.POINTER(ctypes.c_int64),    # lengths
+        ctypes.c_int,                      # n
+        ctypes.c_int, ctypes.c_int,        # full_h, full_w
+        ctypes.c_int, ctypes.c_int,        # crop_h, crop_w
+        ctypes.c_int,                      # relaxed
+        ctypes.POINTER(ctypes.c_float),    # mean
+        ctypes.c_int, ctypes.c_int,        # mean_h, mean_w
+        ctypes.c_int,                      # mean_full
+        ctypes.POINTER(ctypes.c_float),    # out
+        ctypes.c_int,                      # threads
+    ]
+    lib.qcnn_preproc_batch_torch.restype = ctypes.c_int
+    lib.qcnn_preproc_batch_torch.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),   # buffers
+        ctypes.POINTER(ctypes.c_int64),    # lengths
+        ctypes.c_int,                      # n
+        ctypes.c_int, ctypes.c_int,        # resize, crop
+        ctypes.POINTER(ctypes.c_float),    # mean3
+        ctypes.POINTER(ctypes.c_float),    # std3
+        ctypes.POINTER(ctypes.c_float),    # out
+        ctypes.c_int,                      # threads
+    ]
+    return lib
 
 
-def _build() -> None:
-    from qcnn_tpu.native_build import build_cmd
+# shared loader scaffold (round-5 review: this module and formats/native
+# carried drifting verbatim copies); -pthread for the threaded pipeline
 
-    subprocess.run(
-        build_cmd(_SRC, _SO, "-pthread"), check=True, capture_output=True,
-    )
+_loader = NativeLib(_SRC, _SO, _bind, extra_flags=("-pthread",))
 
 
-def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _build_failed
-    if os.environ.get("QCNN_DISABLE_NATIVE"):
-        # same kill switch as formats/native: force the NumPy fallback for
-        # ALL native C++ (this lib parses untrusted HTTP uploads)
-        return None
-    with _lock:
-        if _lib is not None or _build_failed:
-            return _lib
-        try:
-            if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)
-            ):
-                _build()
-            lib = ctypes.CDLL(_SO)
-            lib.qcnn_preproc_batch.restype = ctypes.c_int
-            lib.qcnn_preproc_batch.argtypes = [
-                ctypes.POINTER(ctypes.c_void_p),   # buffers
-                ctypes.POINTER(ctypes.c_int64),    # lengths
-                ctypes.c_int,                      # n
-                ctypes.c_int, ctypes.c_int,        # full_h, full_w
-                ctypes.c_int, ctypes.c_int,        # crop_h, crop_w
-                ctypes.c_int,                      # relaxed
-                ctypes.POINTER(ctypes.c_float),    # mean
-                ctypes.c_int, ctypes.c_int,        # mean_h, mean_w
-                ctypes.c_int,                      # mean_full
-                ctypes.POINTER(ctypes.c_float),    # out
-                ctypes.c_int,                      # threads
-            ]
-            lib.qcnn_preproc_batch_torch.restype = ctypes.c_int
-            lib.qcnn_preproc_batch_torch.argtypes = [
-                ctypes.POINTER(ctypes.c_void_p),   # buffers
-                ctypes.POINTER(ctypes.c_int64),    # lengths
-                ctypes.c_int,                      # n
-                ctypes.c_int, ctypes.c_int,        # resize, crop
-                ctypes.POINTER(ctypes.c_float),    # mean3
-                ctypes.POINTER(ctypes.c_float),    # std3
-                ctypes.POINTER(ctypes.c_float),    # out
-                ctypes.c_int,                      # threads
-            ]
-            _lib = lib
-        except Exception:  # noqa: BLE001 - any load/bind failure means
-            # "no native path": e.g. a stale .so missing a newer symbol
-            # raises AttributeError, which used to escape available()
-            # and crash every request instead of falling back to NumPy
-            # (round-5 review; formats/native catches broadly for the
-            # same reason)
-            _build_failed = True
-        return _lib
+def _load():
+    return _loader.get()
 
 
 def available() -> bool:
