@@ -11,7 +11,7 @@ interesting comparison is against theory: a fresh quantization of an
 already-K-clustered matrix should reach near-zero error if k-means recovers
 the clusters.
 
-Usage: python benchmarks/quantizer_quality.py [--layer 19]
+Usage: python benchmarks/quantizer_quality.py [--layers 18 21]
 """
 
 from __future__ import annotations
@@ -58,6 +58,11 @@ def main():
 
     bin_dir = "/root/reference/AlexNet/Bin.Files"
     for layer in args.layers:
+        if layer not in LAYERS:
+            raise SystemExit(
+                f"--layers takes 0-based indices from {sorted(LAYERS)} "
+                f"(got {layer}; file numbers are index+1)"
+            )
         name, kind = LAYERS[layer]
         ctrd = read_bin(
             os.path.join(bin_dir, f"bvlc_alexnet_aCaF.ctrdLst.{layer+1:02d}.bin"),

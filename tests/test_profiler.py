@@ -40,7 +40,7 @@ def test_phase_split_memory_mode(rng):
     profs = profile_layers(spec, prep, x, conv_impls=ci, fc_impls=fi,
                            compute_dtype=jnp.bfloat16, k1=1, k2=3,
                            verbose=False)
-    by_idx = {p.index: p in profs and p for p in profs}
+    by_idx = {p.index: p for p in profs}
     # in-step decode layers report the decode phase; its time never exceeds
     # the layer total (clamped) and phase2 is the difference
     for i in (0, 3, 5):

@@ -301,7 +301,11 @@ def test_concurrent_submitters_stress(engine, rng):
 
     def worker(i):
         try:
-            img = rng.standard_normal((11, 11, 4)).astype(np.float32)
+            # per-thread generator: numpy Generators are not thread-safe,
+            # and 32 threads on the shared fixture rng corrupt its state
+            # (round-5 review) — deterministic per-worker streams instead
+            img = np.random.default_rng(1000 + i).standard_normal(
+                (11, 11, 4)).astype(np.float32)
             results[i] = engine.classify(img, timeout=120)
         except Exception as e:  # noqa: BLE001
             errors.append(e)

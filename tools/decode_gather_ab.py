@@ -162,6 +162,7 @@ def main() -> int:
     xb = rng.standard_normal((64, 224, 224, 3)).astype(np.float32)
     from qcnn_tpu.models import common
 
+    saved_impl = common.MEMORY_IMPL
     for impl in ("indecode", "gdecode"):
         common.MEMORY_IMPL = impl
 
@@ -172,7 +173,7 @@ def main() -> int:
         t = time_device_fn(step_r, xb, prepared, k1=2, k2=8)
         print(f"resnet50 memory b64 {impl}: {t*1e3:.3f} ms "
               f"({64/t:.0f} img/s)", flush=True)
-    common.MEMORY_IMPL = "indecode"
+    common.MEMORY_IMPL = saved_impl  # restore the SHIPPED default (round-5 review)
     return 0
 
 

@@ -68,6 +68,7 @@ def main() -> int:
     if "--skip-e2e" in sys.argv:
         return 0
 
+    saved_impl = common.MEMORY_IMPL
     # e2e resnet50 memory b64 per conv MEMORY_IMPL (fc rule = auto)
     from qcnn_tpu.models import common
     from qcnn_tpu.models import resnet as fam
@@ -88,7 +89,9 @@ def main() -> int:
         t = time_device_fn(step_r, xb, prepared, k1=2, k2=8)
         print(f"resnet50 memory b64 conv={impl}: {t*1e3:.3f} ms "
               f"({64/t:.0f} img/s)", flush=True)
-    common.MEMORY_IMPL = "indecode"
+    common.MEMORY_IMPL = saved_impl  # restore the SHIPPED default
+    # (round-5 review: a stale pre-round-4 constant was restored here,
+    # leaving any in-process caller on a superseded global)
 
     # e2e vit_b16 memory b32: per-batch fc rule vs forced indecode
     from qcnn_tpu.models import vit as vfam

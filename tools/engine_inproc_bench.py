@@ -15,10 +15,10 @@ in-process benchmark, with three forward backends:
   real chip        the honest tunneled number, for reference
 
 The per-batch step time fed to the device-model comes from devtime on the
-engine's own bucket shape. `--steps-ms` overrides it (e.g. to model a
+engine's own bucket shape. `--step-ms` overrides it (e.g. to model a
 faster kernel or another model family).
 
-    timeout 1500 python tools/engine_inproc_bench.py [--threads 128]
+    timeout 1500 python tools/engine_inproc_bench.py [--step-ms 2.0]
     python tools/engine_inproc_bench.py --stub-only   # no chip needed
 """
 
@@ -196,7 +196,8 @@ def main() -> int:
     # scaled per bucket by a simple linear-in-batch model anchored at the
     # max bucket (CNN steps are ~linear in batch at these sizes, §11)
     step_ms = args.step_ms
-    if not step_ms and not args.stub_only:
+    spec = params = None
+    if not args.stub_only:
         import jax
         import jax.numpy as jnp
 
@@ -211,22 +212,30 @@ def main() -> int:
             params = load_alexnet_reference(synthesize_missing=True).params
         except (FileNotFoundError, OSError):
             params = synth.random_pq_params(spec, seed=0)
-        prep, ci, fi = prepare_params(spec, params,
-                                      batch_hint=args.max_batch,
-                                      dtype=jnp.bfloat16)
-        prep = jax.device_put(prep)
-        x = jnp.asarray(
-            synth.random_input(spec, args.max_batch, seed=1), jnp.bfloat16)
+        if not step_ms:
+            # only measure when no --step-ms override was given; spec/
+            # params are still built above for the real-chip section
+            # (round-5 review: --step-ms without --stub-only crashed
+            # with NameError after minutes of stub benchmarks)
+            prep, ci, fi = prepare_params(spec, params,
+                                          batch_hint=args.max_batch,
+                                          dtype=jnp.bfloat16)
+            prep = jax.device_put(prep)
+            x = jnp.asarray(
+                synth.random_input(spec, args.max_batch, seed=1),
+                jnp.bfloat16)
 
-        def step(x, p):
-            return network.forward(p, x, spec=spec, conv_impls=ci,
-                                   fc_impls=fi, compute_dtype=jnp.bfloat16)
+            def step(x, p):
+                return network.forward(p, x, spec=spec, conv_impls=ci,
+                                       fc_impls=fi,
+                                       compute_dtype=jnp.bfloat16)
 
-        base = time_device_fn(lambda v, *_: v[(slice(0, 1),) * v.ndim], x, k1=4, k2=20)
-        t = time_device_fn(step, x, prep, k1=4, k2=20) - base
-        step_ms = t * 1e3
-        log(f"measured AlexNet bf16 batch-{args.max_batch} step: "
-            f"{step_ms:.3f} ms")
+            base = time_device_fn(
+                lambda v, *_: v[(slice(0, 1),) * v.ndim], x, k1=4, k2=20)
+            t = time_device_fn(step, x, prep, k1=4, k2=20) - base
+            step_ms = t * 1e3
+            log(f"measured AlexNet bf16 batch-{args.max_batch} step: "
+                f"{step_ms:.3f} ms")
     if not step_ms:
         step_ms = 1.8  # documented §12-era default for --stub-only runs
 

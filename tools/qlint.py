@@ -81,10 +81,20 @@ def check_python(path: str, src: str, findings: list):
         tracker.visit(tree)
         # textual fallback for __all__, string annotations, docstring
         # references: used if the name appears on a NON-import line
-        # (counting import lines let duplicate imports mask each other)
+        # (counting import lines let duplicate imports mask each other).
+        # Import spans come from the AST, not a first-line regex: a
+        # parenthesized multi-line import's continuation lines otherwise
+        # survive the filter and mask every imported name (round-5
+        # review: the gate was blind to dead names in multi-line
+        # imports, which this repo uses pervasively)
+        import_lines: set[int] = set()
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.Import, ast.ImportFrom)):
+                import_lines.update(range(
+                    node.lineno, (node.end_lineno or node.lineno) + 1))
         non_import_src = "\n".join(
-            ln for ln in src.splitlines()
-            if not re.match(r"\s*(import |from )", ln)
+            ln for i, ln in enumerate(src.splitlines(), 1)
+            if i not in import_lines
         )
         for name, (lineno, full) in tracker.imports.items():
             if name in tracker.used or name.startswith("_"):

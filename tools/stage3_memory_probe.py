@@ -83,11 +83,12 @@ def main() -> int:
 
     t = time_device_fn(stage3_computed, x, dec3, k1=4, k2=20)
     print(f"stage3 dense-computed  : {t*1e3:7.3f} ms", flush=True)
+    saved_impl = common.MEMORY_IMPL
     for impl in ("indecode", "indecode_ohwi", "gdecode", "gdecode_iohw"):
         common.MEMORY_IMPL = impl
         t = time_device_fn(stage3(mem3), x, mem3, k1=4, k2=20)
         print(f"stage3 {impl:15s}: {t*1e3:7.3f} ms", flush=True)
-    common.MEMORY_IMPL = "indecode_ohwi"
+    common.MEMORY_IMPL = saved_impl  # restore the SHIPPED default (round-5 review)
 
     # decode-only: every stage3 conv weight, summed (perturb so nothing
     # hoists); small x rides along for the devtime contract
