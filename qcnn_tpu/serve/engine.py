@@ -371,7 +371,8 @@ class BatchingEngine:
             # bytes for bf16 engines). Numerically identical to the old
             # f32-then-bf16 two-step: bf16(f32(v)) == bf16(v).
             self._queue.put_nowait(
-                (np.asarray(image_nhwc, self._upload_dtype), fut, expiry)
+                (np.ascontiguousarray(image_nhwc, self._upload_dtype),
+                 fut, expiry)
             )
         except queue.Full:
             with self._stats_lock:
@@ -493,12 +494,29 @@ class BatchingEngine:
                 max_workers=self._asm_workers,
                 thread_name_prefix="qcnn-asm",
             )
+
+        # copy through BYTE views: ml_dtypes.bfloat16 is a user dtype
+        # whose same-dtype copies take NumPy's custom-dtype path —
+        # measured SLOWER than the f32 memcpy despite half the bytes,
+        # and GIL-holding, which also defeats the stripe parallelism
+        # (tools/out/asm_parallel_ab3.txt). uint8 views of the same
+        # memory copy at memcpy speed; submit() guarantees contiguous
+        # same-dtype rows.
+        bview = buf.view(np.uint8)
+
+        def copy_row(i: int) -> None:
+            src = batch[i][0]
+            if src.dtype == buf.dtype and src.flags.c_contiguous:
+                bview[i] = src.view(np.uint8)
+            else:  # foreign dtype slipped in: let NumPy cast
+                buf[i] = src
+
         stripes = None
         if pool is not None and n >= 2 * self._asm_workers > 2:
 
             def copy_rows(lo: int, hi: int) -> None:
                 for i in range(lo, hi):
-                    buf[i] = batch[i][0]
+                    copy_row(i)
 
             chunk = -(-n // self._asm_workers)
             try:
@@ -512,8 +530,8 @@ class BatchingEngine:
             for st in stripes:
                 st.result()  # join + re-raise worker exceptions
         else:
-            for i, item in enumerate(batch):
-                buf[i] = item[0]
+            for i in range(n):
+                copy_row(i)
         if bucket > n:
             # stale rows from a previous, fuller batch must not leak into
             # this dispatch (padding rows are sliced off the results, but

@@ -38,16 +38,23 @@ def main() -> int:
     def model(b):
         return 0.3e-3 + (step_s - 0.3e-3) * b / 64
 
+    import ml_dtypes
+
     results: dict[str, list[float]] = {}
     workers_wide = max(1, min(8, (os.cpu_count() or 2) - 1))
     for rnd in range(3):
-        for name, workers, fwd in (
-            ("serial zero-cost", 1, lambda b: 0.0),
-            ("striped zero-cost", workers_wide, lambda b: 0.0),
-            ("serial device-model", 1, model),
-            ("striped device-model", workers_wide, model),
+        for name, workers, fwd, dtype in (
+            ("serial zero-cost", 1, lambda b: 0.0, np.float32),
+            ("striped zero-cost", workers_wide, lambda b: 0.0, np.float32),
+            ("serial device-model", 1, model, np.float32),
+            ("striped device-model", workers_wide, model, np.float32),
+            # bf16 upload = the REAL engine's byte stream (submit-time
+            # cast halves the copy): the honest device-local ceiling
+            ("striped bf16 device-model", workers_wide, model,
+             ml_dtypes.bfloat16),
         ):
             eng = make_stub_engine(cfg, shape, 1000, fwd)
+            eng._upload_dtype = dtype
             eng._asm_workers = workers
             r = drain(eng, image, n_req)
             eng.stop()
