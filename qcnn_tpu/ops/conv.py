@@ -54,7 +54,7 @@ def memory_fused_route(params: dict, x_shape, x_dtype, *, stride: int,
     this branch off by default; KERNEL_STUDIES §16d), or 'indecode_ohwi'
     (one-hot OHWI decode).
     """
-    from qcnn_tpu.ops.pallas.pq_conv_fused import supports
+    from qcnn_tpu.ops.pallas.pq_conv_fused import fits_vmem, supports
 
     b, h, w, cin = x_shape
     if x_dtype != jnp.bfloat16:
@@ -63,8 +63,12 @@ def memory_fused_route(params: dict, x_shape, x_dtype, *, stride: int,
         return "indecode_ohwi"
     a_shape = params["assignments"].shape
     multi_tap = a_shape[1] > 1
-    if multi_tap and supports(params, stride=stride, groups=groups,
-                              cin=cin):
+    if (multi_tap and supports(params, stride=stride, groups=groups,
+                               cin=cin)
+            # spatial gate (round-5 review): a single oversized image
+            # (e.g. 96x96 stride-1 3x3) overflows the VMEM block even at
+            # batch tile 1 — fall back instead of crashing the compiler
+            and fits_vmem(h, w, pad, a_shape[1], a_shape[2])):
         return "fusedconv"
     cout = a_shape[0]
     # fc1x1 pre-slices x[:, ::stride] -> ceil(h/stride) rows (advisor

@@ -98,11 +98,10 @@ def _pq_conv_fused(x, codebooks, asmt_t, bias, *, kh, kw, pad, h, w,
 
     hp, wp = h + 2 * pad, w + 2 * pad
     ho, wo = hp - kh + 1, wp - kw + 1
-    o_max = (kh - 1) * wp + (kw - 1)
     # all rows [0, ho*wp) are sliced/reshaped outside; taps never cross
     # images because the block provides l_out + o_max <= Lp rows of slack
-    l_out = ceil_to(ho * wp, 8)
-    lp = ceil_to(max(hp * wp, o_max + l_out), 8)
+    # (geometry shared with the VMEM sizing — _grid_geometry)
+    l_out, lp = _grid_geometry(h, w, pad, kh, kw)
 
     cin_chunk = (_LANES // d) * d
     s_chunk = cin_chunk // d
@@ -175,16 +174,40 @@ def _pq_conv_fused(x, codebooks, asmt_t, bias, *, kh, kw, pad, h, w,
 _VMEM_BUDGET = 6 * 1024 * 1024  # per-block bytes; Pallas double-buffers
 
 
+def _grid_geometry(h: int, w: int, pad: int, kh: int,
+                   kw: int) -> tuple[int, int]:
+    """(l_out, lp) of the flattened padded grid — the ONE copy of the
+    slack math shared by the kernel body and the VMEM sizing (round-5
+    review: two verbatim copies could silently drift, making
+    _auto_block_b size blocks for a different lp than pallas_call
+    allocates)."""
+    hp, wp = h + 2 * pad, w + 2 * pad
+    ho = hp - kh + 1
+    l_out = ceil_to(ho * wp, 8)
+    lp = ceil_to(max(hp * wp, (kh - 1) * wp + (kw - 1) + l_out), 8)
+    return l_out, lp
+
+
+def _per_image_bytes(h: int, w: int, pad: int, kh: int, kw: int) -> int:
+    _, lp = _grid_geometry(h, w, pad, kh, kw)
+    return lp * (_LANES * 2 + _LANES * 4)  # x bf16 + out f32
+
+
+def fits_vmem(h: int, w: int, pad: int, kh: int, kw: int) -> bool:
+    """Can even a ONE-image block fit the VMEM budget? memory_fused_route
+    must check this before routing (round-5 review: _auto_block_b floors
+    at 1, so an oversized single image — e.g. 96x96 stride-1 3x3 —
+    reached the kernel and died in the Mosaic compiler instead of
+    falling back to the OHWI decode)."""
+    return _per_image_bytes(h, w, pad, kh, kw) <= _VMEM_BUDGET
+
+
 def _auto_block_b(h: int, w: int, pad: int, kh: int, kw: int,
                   requested: int) -> int:
     """Largest batch tile whose x+out blocks fit the VMEM budget (the
     56x56 stages flatten to ~3.4k sublane rows; an 8-image block there is
     a 20 MB ask that Mosaic rejects)."""
-    hp, wp = h + 2 * pad, w + 2 * pad
-    ho, wo = hp - kh + 1, wp - kw + 1
-    l_out = ceil_to(ho * wp, 8)
-    lp = ceil_to(max(hp * wp, (kh - 1) * wp + (kw - 1) + l_out), 8)
-    per_image = lp * (_LANES * 2 + _LANES * 4)  # x bf16 + out f32
+    per_image = _per_image_bytes(h, w, pad, kh, kw)
     return max(1, min(requested, _VMEM_BUDGET // max(per_image, 1)))
 
 
@@ -243,6 +266,25 @@ def pq_conv_fused(
     cb = jnp.asarray(params["codebooks"])
     a = jnp.asarray(params["assignments"])
     cout, kh, kw, s = a.shape
+    if s != cb.shape[0]:
+        # mismatched params would decode the wrong codewords for the
+        # trailing subspaces and multiply REAL x channels — silently
+        # wrong (round-5 review; the fc kernel asserts the same)
+        raise ValueError(
+            f"pq_conv_fused: assignments S={s} != codebooks "
+            f"S={cb.shape[0]}"
+        )
+    if cb.shape[0] * cb.shape[2] < cin:
+        raise ValueError(
+            f"pq_conv_fused: codebooks cover {cb.shape[0] * cb.shape[2]} "
+            f"channels < Cin={cin}"
+        )
+    if not fits_vmem(h, w, pad, kh, kw):
+        raise ValueError(
+            f"pq_conv_fused: a single {h}x{w} image's flattened grid "
+            "exceeds the VMEM block budget (memory_fused_route checks "
+            "fits_vmem and falls back to the OHWI decode)"
+        )
     o_pad = ceil_to(cout, _LANES)
     d = cb.shape[2]
     cin_chunk = (_LANES // d) * d

@@ -275,8 +275,10 @@ def pq_fc_fused(
     Args:
       x: (B, Cin) activations.
       params: {"codebooks" (S,K,D), "assignments" (Cout,S) uint8, "bias"}.
-      block_b: batch tile (default: whole padded batch, min 16 for bf16
-        sublanes). block_o/block_s: output-channel / subspace tile sizes.
+      block_b: batch tile (default: the padded batch CAPPED AT 256, min
+        16 for bf16 sublanes — so batches just over a 256 multiple pad
+        the last tile with garbage rows, e.g. b=300 runs as 2x256).
+        block_o/block_s: output-channel / subspace tile sizes.
       interpret: force interpreter mode; default auto (True off-TPU).
       decode: in-kernel weight-tile decode formulation — "select" (2K
         select-accumulate passes) or "gather" (Mosaic dynamic lane gather,
@@ -294,6 +296,14 @@ def pq_fc_fused(
         raise ValueError(
             f"fused kernel supports K <= {_LANES} (int8 assignment ids; "
             f"one vreg of table lanes for decode='gather'); got K={k}"
+        )
+    s_cb, _, d_cb = params["codebooks"].shape
+    if s_cb * d_cb < x.shape[1]:
+        # would otherwise surface as an opaque negative-padding trace
+        # error deep in the jit (round-5 review) — fail at the API edge
+        raise ValueError(
+            f"pq_fc_fused: codebooks cover {s_cb * d_cb} features "
+            f"< Cin={x.shape[1]}"
         )
     return _pq_fc_fused(
         x,

@@ -645,6 +645,44 @@ def test_memory_fused_route_gates(rng):
                               pad=1) == "fusedconv"
 
 
+def test_fused_kernel_guards(rng):
+    """Round-5 hardening: mismatched params and oversized grids fail
+    with clear errors (or fall back) instead of silently corrupting or
+    dying in the Mosaic compiler."""
+    from qcnn_tpu.ops.conv import memory_fused_route
+    from qcnn_tpu.ops.pallas import pq_fc_fused
+    from qcnn_tpu.ops.pallas.pq_conv_fused import fits_vmem, pq_conv_fused
+
+    # assignments S != codebooks S: silent decode corruption -> error
+    cb = (rng.standard_normal((64, 16, 4)) * 0.3).astype(np.float32)
+    asmt = rng.integers(0, 16, size=(40, 3, 3, 60), dtype=np.uint8)
+    p = {"codebooks": jnp.asarray(cb), "assignments": jnp.asarray(asmt),
+         "bias": jnp.asarray(np.zeros(40, np.float32))}
+    x = jnp.asarray(rng.standard_normal((1, 7, 7, 256)), jnp.bfloat16)
+    with pytest.raises(ValueError, match="S=60 != codebooks"):
+        pq_conv_fused(x, p, stride=1, pad=1, interpret=True)
+    # codebooks covering fewer features than Cin: clear error, not a
+    # negative-pad trace failure
+    fc_p = {"codebooks": jnp.asarray(cb),
+            "assignments": jnp.asarray(
+                rng.integers(0, 16, size=(40, 64), dtype=np.uint8)),
+            "bias": jnp.asarray(np.zeros(40, np.float32))}
+    with pytest.raises(ValueError, match="cover 256 features"):
+        pq_fc_fused(jnp.zeros((2, 512), jnp.bfloat16), fc_p,
+                    interpret=True)
+    # oversized single image: route falls back instead of compiling
+    assert fits_vmem(7, 7, 1, 3, 3)
+    assert not fits_vmem(96, 96, 1, 3, 3)
+    pm = {"codebooks": jnp.asarray(cb),
+          "assignments": jnp.asarray(
+              rng.integers(0, 16, size=(40, 3, 3, 64), dtype=np.uint8)),
+          "bias": jnp.asarray(np.zeros(40, np.float32))}
+    assert memory_fused_route(pm, (1, 7, 7, 256), jnp.bfloat16,
+                              stride=1, pad=1) == "fusedconv"
+    assert memory_fused_route(pm, (1, 96, 96, 256), jnp.bfloat16,
+                              stride=1, pad=1) == "indecode_ohwi"
+
+
 def test_pq_conv_memory_fused_fc1x1_with_perm(rng):
     """Regression for the round-4 advisor HIGH finding: an OPQ perm
     carried into the memory_fused fc1x1 reroute was applied twice
